@@ -1,0 +1,371 @@
+package graft.crawl
+
+import graft.analytics.Clones
+import graft.dedup.SeenSet
+import graft.extract.{ExtractedLink, SpanExtract}
+import graft.frontier.{Politeness, Robots}
+import graft.model._
+import graft.url.{EnqueueSeq, Urls}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Typed row shapes used inside a round. */
+final case class FetchInput(
+    url: String, host: String, depth: Int, priority: Int, alive: Boolean,
+    spans: Option[Seq[Span]])
+
+final case class ParsedPage(
+    url: String, host: String, depth: Int, title: String, content_sha1: String,
+    links: Seq[ExtractedLink], media_refs: Seq[String], onions: Seq[String],
+    emails: Seq[String], btcs: Seq[String])
+
+final case class RoundInputs(
+    frontier: DataFrame,
+    seen: DataFrame,
+    domains: DataFrame,
+    pages: DataFrame,
+    corpus: DataFrame,
+    /** distinct hosts present in the corpus — computed ONCE per run by the
+      * loop (corpus is immutable), reused every round. Distinguishes a
+      * 404 (live host, absent doc) from a connection failure (dead host).
+      */
+    corpusHosts: DataFrame,
+    robots: Dataset[RobotsRule],
+    hostDeaths: DataFrame)
+
+final case class RoundOutputs(
+    frontierNext: DataFrame,
+    seenDelta: DataFrame,
+    domains: DataFrame,
+    pagesDelta: DataFrame,
+    linksDelta: DataFrame,
+    emailsDelta: DataFrame,
+    btcDelta: DataFrame,
+    crawlLogDelta: DataFrame,
+    metricsDelta: DataFrame,
+    cached: Seq[DataFrame])
+
+/** ONE crawl round as a single DataFrame program (SURVEY.md §4.1):
+  *
+  *   frontier ─robots gate─ politeness budget ─▶ scheduled (golden order)
+  *     ─corpus equi-join─▶ fetched ─span parse─▶ pages/links/facts
+  *     ─discoveries─ canonicalize+fingerprint ─batch dedup─ bloom+exact
+  *     anti-join vs seen ─▶ frontier(r+1), seen delta, domains merge
+  *
+  * Determinism: every value is a pure function of the committed state —
+  * no wall-clock, no RNG, no partition-dependent ids. Crawl order is the
+  * normative total order (priority DESC, enqueue_seq ASC, url ASC).
+  */
+object Round {
+
+  private val hostUdf = udf((u: String) => Urls.hostOf(u))
+  private val pathUdf = udf((u: String) => Urls.pathOf(u))
+  private val fpUdf = udf((u: String) => Urls.fingerprint(u))
+  private val discSeqUdf =
+    udf((r: Int, parent: String, pos: Int) => EnqueueSeq.forDiscovered(r, parent, pos))
+  private val requeueSeqUdf =
+    udf((r: Int, u: String) => EnqueueSeq.forRequeue(r, u))
+
+  private val frontierCols =
+    Seq("url", "host", "priority", "tier", "depth", "enqueue_seq",
+      "discovered_from", "round", "retries")
+
+  def run(
+      in: RoundInputs,
+      cfg: CrawlConfig,
+      round: Int,
+      seqBase: Long,
+      seenSet: SeenSet)(implicit spark: SparkSession): RoundOutputs = {
+    import spark.implicits._
+
+    // ---- 1. eligibility: drop retired (dead_in_a_row >= R) + crap hosts
+    val dinfo = in.domains.select(
+      col("host"), col("dead_in_a_row"), col("is_crap"), col("pages_crawled"))
+    val eligible = in.frontier
+      .join(dinfo, Seq("host"), "left")
+      .filter(coalesce(col("is_crap"), lit(false)) === false)
+      .filter(coalesce(col("dead_in_a_row"), lit(0)) < cfg.deadRetireThreshold)
+
+    // ---- 2. robots gate: denied rows are consumed (logged), never fetched
+    val gated = Robots.gate(eligible, in.robots, cfg)
+    val denied = gated.filter(!col("robots_allowed"))
+    val allowed = gated.filter(col("robots_allowed"))
+
+    // ---- 3. politeness budget (two-phase skew-safe top-k per host)
+    val scheduled = Politeness.schedule(allowed, cfg).persist()
+    val carryover = allowed
+      .join(scheduled.select("url"), Seq("url"), "left_anti")
+      .select(col("url"), col("host"), col("priority"), col("tier"), col("depth"),
+        col("enqueue_seq"), col("discovered_from"), lit(round + 1).as("round"),
+        col("retries"))
+
+    // ---- 4. golden crawl log: deterministic global sequence
+    val wLog = Window.orderBy(Politeness.Order: _*)
+    val crawlLogDelta = scheduled
+      .withColumn("seq", row_number().over(wLog).cast("long") + lit(seqBase))
+      .select(col("seq"), lit(round).as("round"), col("url"), col("host"), col("priority"))
+
+    // ---- 5. corpus fetch join (S3/J3). Outcome model mirrors HTTP:
+    //   doc found on a live host          -> 200, parse
+    //   doc absent but host serves others -> 404 (permanent, NO retry)
+    //   host absent from corpus / death-scheduled -> connection failure
+    //     (dead-host signal: dead_in_a_row++, retry tier)
+    val joined = scheduled
+      .join(in.corpus, scheduled("url") === in.corpus("doc_id"), "left")
+      .join(broadcast(in.hostDeaths), Seq("host"), "left")
+      .join(in.corpusHosts.withColumn("host_in_corpus", lit(true)), Seq("host"), "left")
+      .withColumn("host_alive",
+        coalesce(col("host_in_corpus"), lit(false)) &&
+          coalesce(col("dead_from_round"), lit(Int.MaxValue)) > round)
+      .withColumn("alive", col("doc_id").isNotNull && col("host_alive"))
+      .persist()
+
+    // ---- 6. parse spans (one typed pass, SURVEY.md U5)
+    val parsed: Dataset[ParsedPage] = joined
+      .select(col("url"), col("host"), col("depth"), col("priority"),
+        col("alive"), col("spans"))
+      .as[FetchInput]
+      .filter(_.alive)
+      .map { f =>
+        val p = SpanExtract.parse(f.url, f.spans.getOrElse(Seq.empty))
+        ParsedPage(f.url, f.host, f.depth, p.title, p.content_sha1,
+          p.links, p.media_refs, p.onions, p.emails, p.btcs)
+      }
+      .persist()
+
+    // connection failures only — the dead-host signal
+    val misses = joined.filter(!col("host_alive"))
+      .select(col("url"), col("host"), col("depth"), col("retries")).persist()
+    // 404s: live host, absent doc — recorded, never retried
+    val notFound = joined.filter(col("host_alive") && col("doc_id").isNull)
+      .select(col("url"), col("host"))
+
+    // ---- 7. output tables of this round
+    val pagesOk = parsed
+      .select(col("url"), col("host"), lit(200).as("status"), col("title"),
+        (pathUdf(col("url")) === lit("/")).as("is_frontpage"),
+        lit(round).as("visited_round"), col("content_sha1"))
+    val pagesMiss = misses
+      .select(col("url"), col("host"), lit(0).as("status"), lit("").as("title"),
+        (pathUdf(col("url")) === lit("/")).as("is_frontpage"),
+        lit(round).as("visited_round"), lit(null).cast("string").as("content_sha1"))
+    val pages404 = notFound
+      .select(col("url"), col("host"), lit(404).as("status"), lit("").as("title"),
+        (pathUdf(col("url")) === lit("/")).as("is_frontpage"),
+        lit(round).as("visited_round"), lit(null).cast("string").as("content_sha1"))
+    val pagesDelta = pagesOk.unionByName(pagesMiss).unionByName(pages404)
+
+    val linksDelta = parsed
+      .select(col("url").as("src_url"), col("host").as("src_host"),
+        explode(col("links")).as("l"))
+      .select(col("src_url"), col("l.dst_url").as("dst_url"), col("src_host"),
+        hostUdf(col("l.dst_url")).as("dst_host"), lit(round).as("round"))
+
+    def factDelta(arrayCol: String): DataFrame = parsed
+      .select(col("host"), explode(col(arrayCol)).as("value"))
+      .distinct()
+      .withColumn("round", lit(round))
+    val emailsDelta = factDelta("emails")
+    val btcDelta = factDelta("btcs")
+
+    // ---- 8. discoveries: anchors (span order) + plain-text onion mentions
+    val anchorCand = parsed
+      .select(col("url").as("discovered_from"), col("depth"), explode(col("links")).as("l"))
+      .select(col("discovered_from"), (col("depth") + 1).as("depth"),
+        col("l.dst_url").as("url"), col("l.pos").as("pos"))
+    val mentionCand = parsed
+      .select(col("url").as("discovered_from"), col("depth"),
+        posexplode(col("onions")).as(Seq("mpos", "mhost")))
+      .select(col("discovered_from"), (col("depth") + 1).as("depth"),
+        concat(lit("http://"), col("mhost"), lit("/")).as("url"),
+        (col("mpos") + lit(2048)).as("pos"))
+
+    val candidates = anchorCand.unionByName(mentionCand)
+      .filter(col("depth") <= cfg.maxDepth)
+      .withColumn("host", hostUdf(col("url")))
+      .withColumn("enqueue_seq", discSeqUdf(lit(round + 1), col("discovered_from"), col("pos")))
+      .withColumn("fingerprint", fpUdf(col("url")))
+
+    // batch dedup: one hash agg (map-side partial), deterministic arg-min
+    val bestPerFp = candidates
+      .groupBy(col("fingerprint"))
+      .agg(min_by(
+        struct(col("url"), col("host"), col("depth"), col("enqueue_seq"),
+          col("discovered_from")),
+        struct(col("enqueue_seq"), col("discovered_from"))).as("e"))
+      .select(col("fingerprint"), col("e.*"))
+      .persist()
+
+    // two-phase bloom + exact anti-join vs seen (J2)
+    val fresh0 = seenSet.filterNew(bestPerFp, in.seen)
+
+    // subdomain-spam (is_crap) detection on the fresh candidate hosts
+    val baseExpr = regexp_extract(col("host"), "([a-z2-7]{16}|[a-z2-7]{56})\\.onion$", 0)
+    val crapBases = fresh0
+      .groupBy(baseExpr.as("base"))
+      .agg(countDistinct(col("host")).as("n_sub"))
+      .filter(col("n_sub") > cfg.crapSubdomainLimit)
+      .select(col("base"))
+    val fresh = fresh0
+      .withColumn("base", baseExpr)
+      .join(broadcast(crapBases), Seq("base"), "left_anti")
+      .drop("base")
+      .persist()
+
+    val seenDelta = fresh
+      .select(col("fingerprint"), col("url"), lit(round + 1).as("first_round"))
+
+    val newEntries = fresh.select(
+      col("url"), col("host"), lit(Priorities.NewOnion).as("priority"),
+      lit(Priorities.TierNew).as("tier"), col("depth"), col("enqueue_seq"),
+      col("discovered_from"), lit(round + 1).as("round"), lit(0).as("retries"))
+
+    // ---- 9. retry tier: failed hosts not yet retired re-enqueue the URL
+    val priorDead = in.domains.select(col("host"), col("dead_in_a_row").as("prior_dead"))
+    val missHostsD = misses.select("host").distinct()
+      .join(priorDead, Seq("host"), "left")
+      .withColumn("dead_now", coalesce(col("prior_dead"), lit(0)) + 1)
+      .persist()
+    // per-URL retry cap (Scrapy RetryMiddleware semantics) on top of the
+    // host-level retirement — otherwise one permanent 404 on a healthy
+    // host would be retried forever and the host would never go stale
+    val retryEntries = misses
+      .filter(col("retries") < cfg.maxUrlRetries)
+      .join(missHostsD.filter(col("dead_now") < cfg.deadRetireThreshold)
+        .select("host"), Seq("host"), "left_semi")
+      .select(col("url"), col("host"), lit(Priorities.Retry).as("priority"),
+        lit(Priorities.TierRetry).as("tier"), col("depth"),
+        requeueSeqUdf(lit(round + 1), col("url")).as("enqueue_seq"),
+        lit("").as("discovered_from"), lit(round + 1).as("round"),
+        (col("retries") + 1).as("retries"))
+
+    // ---- 10. recrawl tier: stalest-first due domains re-enqueue frontpage
+    val dueRecrawl = in.domains
+      .filter(col("is_up") && !col("is_crap") &&
+        col("dead_in_a_row") < cfg.deadRetireThreshold &&
+        col("last_visited_round") <= round - cfg.recrawlIntervalRounds)
+      .select(concat(lit("http://"), col("host"), lit("/")).as("url"), col("host"))
+      .select(col("url"), col("host"), lit(Priorities.Recrawl).as("priority"),
+        lit(Priorities.TierRecrawl).as("tier"), lit(0).as("depth"),
+        requeueSeqUdf(lit(round + 1), col("url")).as("enqueue_seq"),
+        lit("").as("discovered_from"), lit(round + 1).as("round"),
+        lit(0).as("retries"))
+
+    // ---- 11. next frontier: deterministic merge, best entry per url
+    val frontierNext = carryover.select(frontierCols.map(col): _*)
+      .unionByName(newEntries.select(frontierCols.map(col): _*))
+      .unionByName(retryEntries.select(frontierCols.map(col): _*))
+      .unionByName(dueRecrawl.select(frontierCols.map(col): _*))
+      .groupBy(col("url"))
+      .agg(min_by(
+        struct(frontierCols.filter(_ != "url").map(col): _*),
+        struct((lit(Priorities.NewOnion) - col("priority")).as("inv_priority"),
+          col("enqueue_seq"))).as("e"))
+      .select((Seq(col("url")) ++ frontierCols.filter(_ != "url").map(n => col(s"e.$n"))): _*)
+
+    // ---- 12. domains merge (K1 upsert = full-outer + coalesce)
+    // any HTTP response (200 or 404) counts as "host alive" observation;
+    // fetched_pages counts parsed 200s only
+    val titleAgg = parsed.groupBy(col("host")).agg(
+      max(when(pathUdf(col("url")) === "/", col("title"))).as("fp_title"))
+    val okHostAgg = joined.filter(col("host_alive"))
+      .groupBy(col("host"))
+      .agg(sum(when(col("alive"), lit(1)).otherwise(lit(0))).as("fetched_pages"))
+      .join(titleAgg, Seq("host"), "left")
+    val obs = okHostAgg
+      .join(missHostsD.select(col("host"), col("dead_now")), Seq("host"), "full_outer")
+    val newHostRows = frontierNext.select("host").distinct()
+      .join(in.domains.select("host"), Seq("host"), "left_anti")
+      .join(obs.select("host"), Seq("host"), "left_anti")
+      .persist()
+
+    val mergedBase = in.domains
+      .join(obs, Seq("host"), "full_outer")
+      .join(newHostRows.withColumn("is_new_host", lit(true)), Seq("host"), "left")
+      .select(
+        col("host"),
+        coalesce(col("first_seen_round"),
+          when(col("is_new_host"), lit(round + 1)).otherwise(lit(round))).as("first_seen_round"),
+        when(col("fetched_pages").isNotNull || col("dead_now").isNotNull, lit(round))
+          .otherwise(coalesce(col("last_visited_round"), lit(-1))).as("last_visited_round"),
+        when(col("fetched_pages").isNotNull, lit(round))
+          .otherwise(coalesce(col("last_alive_round"), lit(-1))).as("last_alive_round"),
+        when(col("fetched_pages").isNotNull, lit(true))
+          .when(col("dead_now").isNotNull, lit(false))
+          .otherwise(coalesce(col("is_up"), lit(false))).as("is_up"),
+        when(col("fetched_pages").isNotNull, lit(0))
+          .otherwise(coalesce(col("dead_now"), col("dead_in_a_row"), lit(0))).as("dead_in_a_row"),
+        coalesce(col("fp_title"), col("title"), lit("")).as("title"),
+        coalesce(col("server"), lit("")).as("server"),
+        coalesce(col("powered_by"), lit("")).as("powered_by"),
+        (coalesce(col("is_crap"), lit(false)) ||
+          crapBaseMatch(col("host"), crapBases, spark)).as("is_crap"),
+        lit(false).as("is_fake"),
+        lit("").as("genuine_host"),
+        (coalesce(col("pages_crawled"), lit(0)) +
+          coalesce(col("fetched_pages"), lit(0))).cast("int").as("pages_crawled"))
+
+    // clone / fake marking over the accumulated front pages (A5/A6/J6)
+    val frontPagesAll = in.pages.unionByName(pagesDelta)
+      .filter(col("is_frontpage") && col("content_sha1").isNotNull)
+      .groupBy(col("host"))
+      .agg(max_by(col("content_sha1"), col("visited_round")).as("content_sha1"))
+    val cloneFlags = Clones.detect(frontPagesAll,
+      mergedBase.select(col("host"), col("first_seen_round")))
+    val domainsNext = mergedBase
+      .join(cloneFlags.withColumnRenamed("is_fake", "cf_fake")
+        .withColumnRenamed("genuine_host", "cf_genuine"), Seq("host"), "left")
+      .withColumn("is_fake", coalesce(col("cf_fake"), col("is_fake")))
+      .withColumn("genuine_host", coalesce(col("cf_genuine"), col("genuine_host")))
+      .drop("cf_fake", "cf_genuine")
+
+    // ---- 13. per-partition lineage + metrics (A7, NORM)
+    def perPart(df: DataFrame, name: String): DataFrame = df
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as(name))
+    val dropped = bestPerFp.join(fresh.select("fingerprint"), Seq("fingerprint"), "left_anti")
+    val metricsDelta = Seq(
+      perPart(in.frontier, "urls_in"),
+      perPart(denied, "denied"),
+      perPart(dropped, "deduped"),
+      perPart(scheduled, "scheduled"),
+      perPart(parsed.toDF(), "fetched"),
+      perPart(newHostRows, "new_onions"))
+      .reduce((a, b) => a.join(b, Seq("partition_id"), "full_outer"))
+      .na.fill(0L)
+      .select(lit(round).as("round"), col("partition_id"), col("urls_in"),
+        col("denied"), col("deduped"), col("scheduled"), col("fetched"),
+        col("new_onions"))
+
+    RoundOutputs(
+      frontierNext = frontierNext,
+      seenDelta = seenDelta,
+      domains = domainsNext,
+      pagesDelta = pagesDelta,
+      linksDelta = linksDelta,
+      emailsDelta = emailsDelta,
+      btcDelta = btcDelta,
+      crawlLogDelta = crawlLogDelta,
+      metricsDelta = metricsDelta,
+      cached = Seq(scheduled, joined, parsed.toDF(), misses, bestPerFp, fresh,
+        missHostsD, newHostRows))
+  }
+
+  /** is_crap via subdomain-bomb bases: membership test against the (tiny)
+    * crap-base set, kept as a broadcast semi-join helper expression.
+    */
+  private def crapBaseMatch(
+      host: org.apache.spark.sql.Column,
+      crapBases: DataFrame,
+      spark: SparkSession): org.apache.spark.sql.Column = {
+    val bases = crapBases.collect().map(_.getString(0)).filter(_.nonEmpty)
+    if (bases.isEmpty) lit(false)
+    else {
+      val bc = spark.sparkContext.broadcast(bases.toSet)
+      val m = udf((h: String) =>
+        bc.value.exists(b => h == b || h.endsWith("." + b)))
+      m(host)
+    }
+  }
+}

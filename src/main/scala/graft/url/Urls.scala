@@ -1,0 +1,185 @@
+package graft.url
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Pure URL utilities — the determinism contract of SURVEY.md §6 lives here.
+  *
+  * Semantics reconstructed from the reference's dependency stack (the
+  * reference repo `dirtyfilthy/freshonions-torscraper` was unavailable at
+  * survey time — see SURVEY.md §0):
+  *   - canonicalization ≈ `w3lib.url.canonicalize_url` as used by Scrapy's
+  *     `RFPDupeFilter`: lowercase scheme+host, strip fragment, sort query
+  *     params by (key, value), normalize %-escapes, empty path -> "/".
+  *   - fingerprint ≈ `scrapy.utils.request.request_fingerprint`:
+  *     sha1 over the request method + canonical URL.
+  *
+  * Everything here is pure Scala (zero Spark deps) so it can be used both
+  * from UDFs and from driver-side fixture generation, and property-tested
+  * without a SparkSession.
+  */
+object Urls {
+
+  private val DefaultPorts = Map("http" -> 80, "https" -> 443)
+
+  /** v2 (16 chars) and v3 (56 chars) onion hosts, optional subdomains. */
+  private val OnionHostRx =
+    "^([a-z0-9-]+\\.)*([a-z2-7]{16}|[a-z2-7]{56})\\.onion$".r
+
+  def isOnionHost(host: String): Boolean =
+    host != null && OnionHostRx.matches(host.toLowerCase)
+
+  /** Parse a URL into (scheme, host, port, path, query, fragment) leniently.
+    * Returns None when there is no recognizable scheme+host.
+    */
+  private[url] def split(url: String): Option[(String, String, Int, String, String, String)] = {
+    if (url == null) return None
+    val trimmed = url.trim
+    val schemeEnd = trimmed.indexOf("://")
+    if (schemeEnd <= 0) return None
+    val scheme = trimmed.substring(0, schemeEnd).toLowerCase
+    if (scheme != "http" && scheme != "https") return None
+    val rest = trimmed.substring(schemeEnd + 3)
+    val (authorityAndPath, fragment) = rest.indexOf('#') match {
+      case -1 => (rest, "")
+      case i  => (rest.substring(0, i), rest.substring(i + 1))
+    }
+    val (authorityPath, query) = authorityAndPath.indexOf('?') match {
+      case -1 => (authorityAndPath, "")
+      case i  => (authorityAndPath.substring(0, i), authorityAndPath.substring(i + 1))
+    }
+    val (authority, path) = authorityPath.indexOf('/') match {
+      case -1 => (authorityPath, "")
+      case i  => (authorityPath.substring(0, i), authorityPath.substring(i))
+    }
+    // strip userinfo (rare; reference crawls plain onion HTTP)
+    val hostPort = authority.lastIndexOf('@') match {
+      case -1 => authority
+      case i  => authority.substring(i + 1)
+    }
+    val (host, port) = hostPort.lastIndexOf(':') match {
+      case -1 => (hostPort, -1)
+      case i =>
+        val p = hostPort.substring(i + 1)
+        if (p.forall(_.isDigit) && p.nonEmpty) (hostPort.substring(0, i), p.toInt)
+        else (hostPort, -1)
+    }
+    if (host.isEmpty) None
+    else Some((scheme, host.toLowerCase, port, path, query, fragment))
+  }
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** Normalize %-escapes: decode unreserved characters, uppercase the hex
+    * digits of everything else, leave malformed escapes untouched.
+    */
+  private[url] def normalizeEscapes(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        if (v < 128 && isUnreserved(v.toChar)) sb.append(v.toChar)
+        else { sb.append('%'); sb.append(s.substring(i + 1, i + 3).toUpperCase) }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Remove dot-segments per RFC 3986 §5.2.4. */
+  private[url] def removeDotSegments(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val segs = path.split("/", -1)
+    var i = 0
+    while (i < segs.length) {
+      segs(i) match {
+        case "."  => // skip
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case s    => out += s
+      }
+      i += 1
+    }
+    val joined = out.mkString("/")
+    val endsWithDot = path.endsWith("/.") || path.endsWith("/..")
+    val result = if (path.startsWith("/") && !joined.startsWith("/")) "/" + joined else joined
+    if (endsWithDot && !result.endsWith("/")) result + "/" else result
+  }
+
+  /** Canonicalize a URL (the normative dedup key, SURVEY.md §6.1 R1).
+    * Non-http(s)/unparseable inputs canonicalize to lowercase-trimmed self
+    * so the function is total and idempotent.
+    */
+  def canonicalize(url: String): String = split(url) match {
+    case None => if (url == null) "" else url.trim.toLowerCase
+    case Some((scheme, host, port, path0, query, _)) =>
+      val portPart =
+        if (port == -1 || DefaultPorts.get(scheme).contains(port)) ""
+        else ":" + port
+      val path = {
+        val p = removeDotSegments(normalizeEscapes(path0))
+        if (p.isEmpty) "/" else p
+      }
+      val queryPart =
+        if (query.isEmpty) ""
+        else {
+          val pairs = query.split("&", -1).filter(_.nonEmpty).map { kv =>
+            kv.indexOf('=') match {
+              case -1 => (normalizeEscapes(kv), None)
+              case i  => (normalizeEscapes(kv.substring(0, i)), Some(normalizeEscapes(kv.substring(i + 1))))
+            }
+          }
+          val sorted = pairs.sortBy { case (k, v) => (k, v.getOrElse("")) }
+          if (sorted.isEmpty) ""
+          else "?" + sorted.map { case (k, Some(v)) => s"$k=$v"; case (k, None) => k }.mkString("&")
+        }
+      s"$scheme://$host$portPart$path$queryPart"
+  }
+
+  /** Request fingerprint (SURVEY.md §6.1 R2): sha1 hex of "GET <canon>". */
+  def fingerprint(url: String): String =
+    sha1Hex("GET " + canonicalize(url))
+
+  def sha1Hex(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(40)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** RFC 3986 resolution of href against base (SURVEY.md §3.7 R3), with
+    * onion-crawl guards: only http(s) results, host must survive parsing.
+    */
+  def resolve(base: String, href: String): Option[String] = {
+    if (href == null || base == null) return None
+    val h = href.trim
+    if (h.isEmpty || h.startsWith("#") || h.startsWith("javascript:") ||
+        h.startsWith("mailto:") || h.startsWith("data:")) return None
+    try {
+      val resolved =
+        if (h.contains("://")) h
+        else new java.net.URI(base).resolve(escapeForUri(h)).toString
+      split(resolved).map(_ => canonicalize(resolved))
+    } catch { case _: Exception => None }
+  }
+
+  /** java.net.URI rejects raw spaces etc.; escape minimally. */
+  private def escapeForUri(s: String): String =
+    s.replace(" ", "%20").replace("\"", "%22").replace("<", "%3C")
+      .replace(">", "%3E").replace("|", "%7C").replace("`", "%60")
+      .replace("\\", "%5C").replace("^", "%5E").replace("{", "%7B")
+      .replace("}", "%7D")
+
+  def hostOf(url: String): String = split(url).map(_._2).getOrElse("")
+
+  def pathOf(url: String): String =
+    split(url).map { case (_, _, _, p, _, _) => if (p.isEmpty) "/" else p }.getOrElse("/")
+}

@@ -1,0 +1,168 @@
+package graft.crawl
+
+import graft.SparkTestSession
+import graft.fixtures.SyntheticCorpus
+import graft.model._
+import graft.store.SnapshotStore
+import graft.url.Urls
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden-replay + property tests for the crawl loop (SURVEY.md §7 t2 +
+  * the partitioning-independence property that catches shuffle/order bugs).
+  */
+class CrawlSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val nHosts = 20
+  val seeds: Seq[String] = SyntheticCorpus.seedsLocal(nHosts, 5)
+  val cfg: CrawlConfig = CrawlConfig(
+    maxDepth = 3, maxPagesPerDomain = 10, roundWindowSec = 60.0,
+    defaultCrawlDelaySec = 10.0, deadRetireThreshold = 3,
+    recrawlIntervalRounds = 2, saltBuckets = 4, bloomExpectedItems = 100000L,
+    compactEveryRounds = 2)
+
+  def corpusDF: DataFrame = SyntheticCorpus.docsLocal(nHosts).toDS().toDF()
+  def robotsDS = SyntheticCorpus.robotsLocal(nHosts).toDS()
+  def deathsDF: DataFrame =
+    SyntheticCorpus.hostDeathsLocal(nHosts).toDF("host", "dead_from_round")
+
+  def runCrawl(rounds: Int, partitions: Int, c: CrawlConfig = cfg): SnapshotStore = {
+    val dir = Files.createTempDirectory("crawl").toString
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    val store = new SnapshotStore(dir, spark)
+    val loop = new CrawlLoop(store, c)
+    loop.init(seeds)
+    loop.run(corpusDF, robotsDS, deathsDF, rounds)
+    store
+  }
+
+  private def logSeq(store: SnapshotStore): Seq[(Long, Int, String)] =
+    store.read("crawl_log").select("seq", "round", "url")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+
+  private def seenFps(store: SnapshotStore): Set[String] =
+    store.read("seen").select("fingerprint").as[String].collect().toSet
+
+  lazy val mainStore: SnapshotStore = runCrawl(rounds = 6, partitions = 4)
+
+  test("crawl runs 6 rounds; log non-empty with strictly increasing dense seq") {
+    val log = logSeq(mainStore)
+    assert(log.nonEmpty)
+    assert(log.map(_._1) == (1L to log.length.toLong))
+    assert(log.map(_._2).distinct.sorted == log.map(_._2).distinct)
+  }
+
+  test("politeness budget never exceeded per (round, host)") {
+    // upper bound: the most permissive delay any rule (or the default)
+    // grants the host
+    val maxBudget = SyntheticCorpus.robotsLocal(nHosts)
+      .groupBy(_.host)
+      .map { case (h, rs) =>
+        h -> (rs.map(r => cfg.budget(r.crawl_delay)) :+
+          cfg.budget(cfg.defaultCrawlDelaySec)).max
+      }
+    val perRoundHost = mainStore.read("crawl_log")
+      .groupBy("round", "host").agg(count("*").as("n"))
+      .as[(Int, String, Long)].collect()
+    perRoundHost.foreach { case (_, host, n) =>
+      val budget = maxBudget.getOrElse(host, cfg.budget(cfg.defaultCrawlDelaySec))
+      assert(n <= budget, s"host $host scheduled $n > budget $budget")
+    }
+  }
+
+  test("robots-denied URL is never crawled") {
+    val denied = Urls.canonicalize(s"http://${SyntheticCorpus.hostName(5)}/private/area")
+    assert(mainStore.read("crawl_log").filter(col("url") === denied).isEmpty)
+    // but it WAS consumed: not sitting in the frontier either
+    assert(mainStore.read("frontier").filter(col("url") === denied).isEmpty)
+  }
+
+  test("new-priority URLs are crawled at most once (seen-set exactness)") {
+    val dups = mainStore.read("crawl_log")
+      .filter(col("priority") === Priorities.NewOnion)
+      .groupBy("url").agg(count("*").as("n")).filter(col("n") > 1)
+    assert(dups.isEmpty)
+  }
+
+  test("every crawled URL is in the seen set; seen fingerprints are unique") {
+    val seen = seenFps(mainStore)
+    val crawled = mainStore.read("crawl_log").select("url").as[String].collect()
+    crawled.foreach(u => assert(seen.contains(Urls.fingerprint(u))))
+    val total = mainStore.read("seen").count()
+    assert(total == seen.size, "duplicate fingerprints in seen table")
+  }
+
+  test("ghost host goes dead, is retried then retired; death-schedule host transitions") {
+    val domains = mainStore.read("domains")
+    val ghost = SyntheticCorpus.hostName(
+      (0L until nHosts.toLong).find(SyntheticCorpus.isGhost).get)
+    val g = domains.filter(col("host") === ghost)
+      .select("is_up", "dead_in_a_row").as[(Boolean, Int)].collect()
+    assert(g.length == 1 && !g(0)._1 && g(0)._2 >= 1)
+    // host 3 dies from round 2: if it was crawled alive in round 1 it must
+    // now be down with last_alive_round == 1
+    val h3 = SyntheticCorpus.hostName(3)
+    val d3 = domains.filter(col("host") === h3)
+      .select("is_up", "last_alive_round").as[(Boolean, Int)].collect()
+    if (d3.nonEmpty && d3(0)._2 >= 1) assert(!d3(0)._1)
+  }
+
+  test("clone detection: identical front-page content ⇒ one genuine, rest fake") {
+    val domains = mainStore.read("domains")
+    val fakes = domains.filter(col("is_fake"))
+      .select("host", "genuine_host").as[(String, String)].collect()
+    val pages = mainStore.read("pages").filter(col("is_frontpage"))
+    val groups = pages.filter(col("content_sha1").isNotNull)
+      .groupBy("content_sha1").agg(countDistinct("host").as("n"))
+      .filter(col("n") > 1).count()
+    if (groups > 0) {
+      assert(fakes.nonEmpty, "clone groups exist but nothing marked fake")
+      fakes.foreach { case (h, g) => assert(h != g && g.nonEmpty) }
+      val fakeSet = fakes.map(_._1).toSet
+      fakes.foreach { case (_, g) => assert(!fakeSet.contains(g), "genuine marked fake") }
+    }
+  }
+
+  test("recrawl tier fires after the interval (priority 1 entries in late rounds)") {
+    val recrawls = mainStore.read("crawl_log")
+      .filter(col("priority") === Priorities.Recrawl).count()
+    assert(recrawls > 0, "expected recrawl-tier fetches by round 6")
+  }
+
+  test("metrics carry per-partition lineage for every round") {
+    val m = mainStore.read("metrics")
+    assert(m.filter(col("scheduled") > 0).count() > 0)
+    assert(m.select("round").distinct.count() == 6)
+  }
+
+  test("PARTITIONING INDEPENDENCE: identical crawl order + seen set under different shuffle partitions and salt") {
+    val alt = runCrawl(rounds = 6, partitions = 7, c = cfg.copy(saltBuckets = 1))
+    assert(logSeq(alt) == logSeq(mainStore))
+    assert(seenFps(alt) == seenFps(mainStore))
+    val d1 = mainStore.read("domains").orderBy("host").collect().toSeq
+    val d2 = alt.read("domains").orderBy("host").collect().toSeq
+    assert(d1 == d2)
+  }
+
+  test("RESUME: 3 rounds + stop + resume 3 ≡ straight 6 rounds") {
+    val dir = Files.createTempDirectory("crawl-resume").toString
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new SnapshotStore(dir, spark)
+    val loop1 = new CrawlLoop(store, cfg)
+    loop1.init(seeds)
+    loop1.run(corpusDF, robotsDS, deathsDF, 3)
+    // fresh loop instance = process restart; state only via snapshots
+    val store2 = new SnapshotStore(dir, spark)
+    new CrawlLoop(store2, cfg).run(corpusDF, robotsDS, deathsDF, 3)
+    assert(logSeq(store2) == logSeq(mainStore))
+    assert(seenFps(store2) == seenFps(mainStore))
+    val d1 = mainStore.read("domains").orderBy("host").collect().toSeq
+    val d2 = store2.read("domains").orderBy("host").collect().toSeq
+    assert(d1 == d2)
+  }
+}
