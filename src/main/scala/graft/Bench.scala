@@ -1,24 +1,94 @@
 package graft
+
+import graft.crawl.CrawlLoop
+import graft.fixtures.SyntheticCorpus
+import graft.model.CrawlConfig
+import graft.store.SnapshotStore
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): headline queries on
+  * `SPARK_GRAFT_SF_DIR` plus the crawl-frontier throughput bench —
+  * prints ONE JSON line.
+  *
+  * Scaling-evidence knobs (BASELINE.md protocol — no real multi-executor
+  * cluster in this sandbox, so two parallelism levels stand in for
+  * N vs 4N executors):
+  *   SPARK_GRAFT_CPUS   executor threads (e.g. 8 vs 32)
+  *   GRAFT_BENCH_HOSTS  synthetic frontier scale (default 20000 hosts
+  *                      ≈ 120k URLs through schedule+dedup per run)
+  *   GRAFT_BENCH_ROUNDS crawl rounds (default 3)
+  */
 object Bench {
+
+  val HeadlineQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_revenue_by_nation", "q06_window_topk_per_group",
+    "q08_running_sum", "q16_conditional_agg",
+    "dd01_exact_dups", "dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
+    "ann01_topk_bruteforce", "ta01_token_stats", "ta02_quality",
+    "mm01_media_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "20000").toLong
+    val benchRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+
+    implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- headline queries (count() forces the full plan)
+    val qtimes = HeadlineQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val warm = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val t = if (warm) time(fn(spark, sfDir).count()) else -1.0
+      name -> t
+    }
+
+    // ---- crawl frontier throughput: schedule+dedup URLs/sec over a
+    // synthetic frontier (the BASELINE.json headline metric)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
+    val cfg = CrawlConfig(
+      maxDepth = 3, maxPagesPerDomain = 12, roundWindowSec = 60.0,
+      defaultCrawlDelaySec = 10.0, recrawlIntervalRounds = 1000,
+      saltBuckets = 16, bloomExpectedItems = 10000000L,
+      compactEveryRounds = 1000)
+    val store = new SnapshotStore(dir, spark)
+    val loop = new CrawlLoop(store, cfg)
+    import spark.implicits._
+    val corpus = SyntheticCorpus.docsDF(spark, benchHosts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count() // materialize outside the timed section
+    val seeds = (0L until benchHosts by 7L).map(i => SyntheticCorpus.urlOf(i, 0))
+    loop.init(seeds)
+    val crawlSec = time {
+      loop.run(corpus,
+        SyntheticCorpus.robotsLocal(math.min(benchHosts, 100000L).toInt).toDS(),
+        SyntheticCorpus.hostDeathsLocal(math.min(benchHosts, 100000L).toInt)
+          .toDF("host", "dead_from_round"),
+        benchRounds)
+    }
+    val m = store.read("metrics")
+      .selectExpr("sum(scheduled) AS s", "sum(deduped) AS d", "sum(urls_in) AS u")
+      .collect()(0)
+    val processed = m.getLong(0) + m.getLong(1)
+    val urlsPerSec = processed / crawlSec
+
+    val total = qtimes.map(_._2).filter(_ >= 0).sum + crawlSec
+    val qJson = (qtimes :+ ("crawl_frontier" -> crawlSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"}}}""")
     spark.stop()
   }
 }

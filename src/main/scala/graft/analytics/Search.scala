@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text search (SURVEY.md §3.8 — the reference's Elasticsearch
+  * surface re-expressed relationally): tokenize at index time into an
+  * inverted term table; a query is a semi-join on its terms with
+  * matched-term count (title hits boosted) as the score, then
+  * deterministic pagination.
+  */
+object Search {
+
+  def tokenize(text: Column): Column =
+    array_distinct(filter(split(lower(text), "\\W+"), t => length(t) > 1))
+
+  /** Inverted index over crawled pages + their corpus text:
+    * (term, url, host, in_title). Built once per snapshot, appended like
+    * the ES index the reference maintained.
+    */
+  def buildIndex(pages: DataFrame, corpus: DataFrame): DataFrame = {
+    val body = corpus.select(
+      col("doc_id").as("url"),
+      array_join(transform(
+        filter(col("spans"), s => s.getField("kind") === "text"),
+        s => s.getField("text")), " ").as("body"))
+    val joined = pages.filter(col("status") === 200)
+      .select(col("url"), col("host"), col("title"))
+      .join(body, Seq("url"), "left")
+    val titleTerms = joined.select(col("url"), col("host"),
+      explode(tokenize(col("title"))).as("term"), lit(true).as("in_title"))
+    val bodyTerms = joined.select(col("url"), col("host"),
+      explode(tokenize(coalesce(col("body"), lit("")))).as("term"),
+      lit(false).as("in_title"))
+    titleTerms.unionByName(bodyTerms)
+      .groupBy("term", "url", "host")
+      .agg(max(col("in_title")).as("in_title"))
+  }
+
+  /** multi_match-style query: score = matched distinct terms, title
+    * matches boosted 2×; page/pageSize = ES from/size (W2 pagination).
+    */
+  def query(
+      index: DataFrame, q: String,
+      page: Int = 0, pageSize: Int = 10): DataFrame = {
+    val terms = q.toLowerCase.split("\\W+").filter(_.length > 1).distinct.toSeq
+    if (terms.isEmpty) return index.sparkSession.emptyDataFrame
+    val hits = index
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("url"), col("host"))
+      .agg(
+        countDistinct(col("term")).as("matched"),
+        sum(when(col("in_title"), 1).otherwise(0)).as("title_hits"))
+      .withColumn("score", col("matched") + lit(2) * col("title_hits"))
+    val w = Window.orderBy(col("score").desc, col("url").asc)
+    hits
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > page * pageSize && col("rn") <= (page + 1) * pageSize)
+      .select(col("rn").as("rank"), col("url"), col("host"), col("score"),
+        col("matched"), col("title_hits"))
+  }
+}

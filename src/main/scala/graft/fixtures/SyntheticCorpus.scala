@@ -149,6 +149,19 @@ object SyntheticCorpus {
 
   def docOf(i: Long, p: Int, nHosts: Long): Doc = Doc(urlOf(i, p), spansOf(i, p, nHosts))
 
+  /** Distributed corpus generation for bench scale: one task per host
+    * range, no driver materialization — the same pure functions, so a
+    * distributed corpus equals `docsLocal` row-for-row.
+    */
+  def docsDF(spark: org.apache.spark.sql.SparkSession, nHosts: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, nHosts)
+      .filter(i => !isGhost(i))
+      .flatMap(i => (0 until pagesPerHost(i)).map(p => docOf(i, p, nHosts)))
+      .toDF()
+  }
+
   /** All documents, driver-side (small fixtures / property tests). */
   def docsLocal(nHosts: Int): Seq[Doc] =
     (0L until nHosts.toLong).filterNot(isGhost).flatMap { i =>

@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators — exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. All pure `org.apache.spark.sql.functions` (codegen'd,
+  * map-side-partial aggregates); no UDFs in the hot paths.
+  *
+  * Scale notes (10^10-doc corpora):
+  *   - signatures are ONE hash-aggregate over the exploded shingles
+  *     (numHashes simultaneous `min` aggregates — partial agg on the map
+  *     side, no per-doc collect);
+  *   - LSH banding turns all-pairs O(n²) into per-bucket candidate pairs;
+  *     bucket join is an equi shuffle join on band_hash (AQE handles the
+  *     odd hot bucket);
+  *   - exact verification (Jaccard / Hamming) runs only on candidates.
+  */
+object Dedup {
+
+  /** lowercase word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\W+"), t => t =!= "")
+
+  /** k-word shingles of a token array (distinct). */
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(
+      when(size(toks) < k, array(array_join(toks, " ")))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " "))))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via content hash: per-row group id, group size and the
+    * deterministic keeper (min id) — one shuffle on the 128-bit hash.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("keeper_id"))
+      .select(col(idCol), col("content_hash"), col("dup_count"),
+        col("keeper_id"), col("is_duplicate"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signatures: numHashes permutations approximated by seeded
+    * xxhash64 over each shingle; signature[j] = min_j. Single exploded
+    * pass, `numHashes` partial-agg mins.
+    */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+    val mins = (0 until numHashes).map(j =>
+      min(xxhash64(col("sh"), lit(j))).as(s"h$j"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("minhash"))
+  }
+
+  /** LSH banding: bands of rows hashed together; docs sharing any band
+    * bucket are candidate near-duplicates.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(
+      col(idCol),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(
+          transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",")))).as(Seq("band", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct k-shingles for given candidate pairs:
+    * |A∩B| by equi-join on shingle, sizes joined back — set algebra as
+    * joins+aggs, no per-row set materialization.
+    */
+  def exactJaccard(
+      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+    val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("jid").as("id_a"), col("sh"))
+    val shB = sh.select(col("jid").as("id_b"), col("sh"))
+    val interCnt = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    pairs
+      .join(interCnt, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("jid").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("jid").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
+      .select(col("id_a"), col("id_b"), col("i"), col("sz_a"), col("sz_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification ≥ tau.
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    exactJaccard(docs, cands, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= tau)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash: per token-hash bit votes (+1/-1), sign of the vote
+    * sum becomes the bit. One exploded pass, 64 sum aggregates.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"b$j") > 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce[Column]((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dups: block on 16-bit chunks (hamming ≤ 3 over 64 bits ⇒
+    * at least one of 4 chunks equal), verify exact Hamming ≤ maxHamming.
+    */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * (random-hyperplane) approximate variant as the scale path.
+  *
+  * The dot product / norms are `zip_with` + `aggregate` over the array —
+  * stock Catalyst expressions, fully codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Σ u[i]·v[i] in double precision. */
+  def dot(u: Column, v: Column): Column =
+    aggregate(zip_with(u, v, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(u: Column): Column = sqrt(dot(u, u))
+
+  def cosine(u: Column, v: Column): Column = dot(u, v) / (norm(u) * norm(v))
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * O(|queries| × |corpus|) — correct baseline; queries side should be
+    * small and is broadcast. Deterministic: ties broken by neighbor id
+    * on the ROUNDED score (6 dp) so float-order noise can't flip ranks.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): a seeded hash mapped to [-1, 1). No RNG state — pure
+    * function, identical on every executor.
+    */
+  private def planeComponent(j: Int, i: Column): Column =
+    (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** nBits-bit random-hyperplane signature (SimHash for vectors):
+    * bit j = sign(v · r_j). Vectors in the same bucket are likely
+    * cosine-close; probing only the bucket turns top-k from O(n) per
+    * query into O(bucket) — the IVF-style scale path.
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: bucket by hyperplane signature, rank within the
+    * bucket only. Recall < 1 by construction (documented tradeoff);
+    * raise nBits for smaller buckets / lower recall, lower for the
+    * opposite.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-bucketed candidates
+    * verified by exact cosine ≥ tau (the embedding analogue of
+    * MinHash-LSH for text).
+    */
+  def cosineNearDups(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nBits: Int = 8): DataFrame = {
+    val sig = corpus.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, n-gram language ID, winnowing fingerprints. All
+  * stock Catalyst expressions.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens (empty-safe, trim first). */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword pieces: alnum runs + each standalone symbol as one
+    * piece (a cheap proxy for a BPE tokenizer's piece count). Expressed
+    * as regexp_extract_all so the DuckDB oracle can mirror it exactly
+    * (RE2 has no lookarounds, so no split-at-boundary formulation).
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_measured"),
+      size(wsTokens(col(textCol))).as("n_tokens"),
+      bpeishCount(col(textCol)).as("n_pieces"))
+
+  /** Quality scoring: length band + punctuation density + stopword ratio
+    * + mean word length, composed into [0,1]. Heuristics follow the
+    * public Gopher/C4-style quality-filter recipes.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+    "that", "for", "on", "with", "as", "at", "by", "an", "be", "this")
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val nTok = size(toks)
+    val nChar = length(col(textCol))
+    val stopHits = size(filter(toks, t => lower(t).isin(Stopwords: _*)))
+    val punct = nChar - length(regexp_replace(col(textCol), "[.!?,;:]", ""))
+    val meanWordLen = when(nTok > 0,
+      (nChar - (nTok - 1)).cast("double") / nTok).otherwise(lit(0.0))
+
+    val lenScore = least(nChar.cast("double") / lit(200.0), lit(1.0))
+    val stopScore = least(stopHits.cast("double") * 10.0 /
+      greatest(nTok, lit(1)).cast("double"), lit(1.0))
+    val punctScore = lit(1.0) - least(punct.cast("double") * 20.0 /
+      greatest(nChar, lit(1)).cast("double"), lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round((lenScore * 0.3 + stopScore * 0.2 + punctScore * 0.3 +
+        wordLenScore * 0.2), 4).as("quality"))
+  }
+
+  /** Character-n-gram language ID over a tiny built-in profile set —
+    * the classic Cavnar–Trenkle trick reduced to marker n-grams and
+    * stopword votes per language. Returns the arg-max language with its
+    * vote counts (deterministic tie-break: language name asc).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " ein "),
+    "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", " une "),
+    "es" -> Seq(" el ", " la ", " y ", " es ", " los ", " una "))
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    def votes(lang: String): Column =
+      LangMarkers(lang).map { m =>
+        (length(padded) - length(regexp_replace(padded,
+          java.util.regex.Pattern.quote(m), ""))) / m.length
+      }.reduce(_ + _)
+    val voteCols = LangMarkers.keys.toSeq.sorted.map(l => votes(l).as(s"v_$l"))
+    val withVotes = docs.select((col(idCol) +: voteCols): _*)
+    val langs = LangMarkers.keys.toSeq.sorted
+    // arg-max via greatest + chained when (ties -> first alphabetically)
+    val best = langs.foldLeft(lit("und")) { (acc, l) =>
+      when(col(s"v_$l") > lit(0) &&
+        col(s"v_$l") === greatest(langs.map(x => col(s"v_$x")): _*) &&
+        acc === "und", lit(l)).otherwise(acc)
+    }
+    withVotes.withColumn("lang_pred", best)
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * rolling window of word-hash minima; the fingerprint set is the
+    * distinct window minima — robust to local edits.
+    */
+  def winnowingFingerprint(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val hashes = transform(toks, t => pmod(xxhash64(t), lit(1000000007L)))
+    val nWin = greatest(size(hashes) - window + 1, lit(1))
+    val mins = transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(hashes, i + 1, lit(window))))
+    docs.select(
+      col(idCol),
+      array_sort(array_distinct(mins)).as("fingerprint"),
+      xxhash64(array_join(transform(array_sort(array_distinct(mins)),
+        x => x.cast("string")), ",")).as("fingerprint64"))
+  }
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+/** DuckDB oracle SQL — one entry per oracle-checkable query in
+  * [[RelationalQueries]] / [[PipelineQueries]]. Each statement is the
+  * EXACT semantic twin of its Spark query: same column names, same
+  * DECIMAL casts before order-sensitive reductions, same rounding, same
+  * total ORDER BY (NULLS FIRST to match Spark's ascending default).
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_window_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q07_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(cur - prev_price AS DOUBLE) AS price_delta
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS cur,
+        |    lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |  FROM orders)
+        |WHERE prev_price IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q08_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, running_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |  FROM lineitem)
+        |WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_distinct_pairs" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q10_set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |     UNION SELECT o_custkey FROM orders)) AS union_cnt,
+        |  (SELECT count(*) FROM (
+        |     SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |     EXCEPT SELECT o_custkey FROM orders)) AS except_cnt,
+        |  (SELECT count(*) FROM (
+        |     SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |     INTERSECT SELECT o_custkey FROM orders)) AS intersect_cnt""".stripMargin,
+
+    "q11_group_having" ->
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY 1 HAVING count(*) > 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q12_argmax_per_group" ->
+      """SELECT c_nationkey, top_custkey, top_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey AS top_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS top_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(GROUPING(r_name, n_name) AS INT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q14_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q15_date_trunc_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_conditional_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value > 10 THEN CAST(value AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_value_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_regex_match" ->
+      """SELECT doc_id,
+        |  regexp_matches(text, '\bspark\b') AS mentions_spark,
+        |  regexp_extract(text, '\b(join|window|shuffle)\b', 1) AS first_op
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_union_distinct_agg" ->
+      """SELECT nationkey, count(*) AS n_parties FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ------------------------------------------------ pipeline oracles
+
+    "dd01_exact_dups" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd05_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM toks
+        |), e AS (
+        |  SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM e GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM e a JOIN e b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.id_a, p.id_b, p.i, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  round(CAST(p.i AS DOUBLE) / (sa.sz + sb.sz - p.i), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE CAST(p.i AS DOUBLE) / (sa.sz + sb.sz - p.i) >= 0.03
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann01_topk_bruteforce" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM u GROUP BY 1
+        |), dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    sum(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE)) AS dp
+        |  FROM u q JOIN u c ON q.i = c.i
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT query_id, nn_id,
+        |    round(dp / (nq.nrm * nc.nrm), 6) AS score
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms nc ON nc.vec_id = nn_id
+        |), ranked AS (
+        |  SELECT query_id, nn_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, nn_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ta01_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_measured,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta02_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    length(text) AS nchar,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t) IN ('the','a','of','and','to','in','is','that','for','on',
+        |                        'with','as','at','by','an','be','this'))) AS stophits,
+        |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, ntok,
+        |    CASE WHEN ntok > 0 THEN CAST(nchar - (ntok - 1) AS DOUBLE) / ntok ELSE 0.0 END AS mwl,
+        |    least(CAST(nchar AS DOUBLE) / 200.0, 1.0) AS len_score,
+        |    least(CAST(stophits AS DOUBLE) * 10.0 / greatest(ntok, 1), 1.0) AS stop_score,
+        |    1.0 - least(CAST(punct AS DOUBLE) * 20.0 / greatest(nchar, 1), 1.0) AS punct_score
+        |  FROM base)
+        |SELECT doc_id, CAST(ntok AS INT) AS n_tokens,
+        |  round(mwl, 4) AS mean_word_len,
+        |  round(len_score * 0.3 + stop_score * 0.2 + punct_score * 0.3 +
+        |    (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "mm01_media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

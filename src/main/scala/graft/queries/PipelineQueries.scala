@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), ANN similarity search, text analysis, multimodal
+  * plumbing. SQL-expressible ones have DuckDB oracles; signature-based
+  * ones (xxhash64 seeds) are rows-only + ScalaTest-verified.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup groups (oracle: md5 + count window)
+    "dd01_exact_dups" -> ((s, d) => {
+      Dedup.exact(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash signature prefix (deterministic; xxhash64 — rows-only)
+    "dd02_minhash_signature" -> ((s, d) => {
+      Dedup.minhashSignatures(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          slice(col("minhash"), 1, 4).as("sig_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash+LSH near-dup pairs w/ exact-Jaccard verification (rows-only)
+    "dd03_minhash_lsh_pairs" -> ((s, d) => {
+      Dedup.minhashNearDups(docs(s, d), "doc_id", "text", tau = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs, hamming <= 8 (rows-only)
+    "dd04_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashNearDups(docs(s, d), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact 3-gram Jaccard on (lang, source)-blocked pairs — FULL oracle
+    "dd05_ngram_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val blockPairs = dd.select(col("doc_id").as("id_a"),
+          col("lang"), col("source"))
+        .join(dd.select(col("doc_id").as("id_b"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.exactJaccard(docs(s, d), blockPairs, "doc_id", "text", shingleK = 3)
+        .filter(col("jaccard") >= 0.03)
+        .select(col("id_a"), col("id_b"), col("i"), col("sz_a"), col("sz_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding near-dup pairs via hyperplane LSH + exact cosine (rows-only)
+    "dd06_embed_neardups" -> ((s, d) => {
+      Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
+        tau = 0.95, nBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-5 for the first 10 vectors — FULL oracle
+    "ann01_topk_bruteforce" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN top-5 (scale path; recall<1 — rows-only)
+    "ann02_lsh_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nBits = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // token counting — FULL oracle
+    "ta01_token_stats" -> ((s, d) => {
+      TextAnalysis.tokenStats(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring — FULL oracle
+    "ta02_quality" -> ((s, d) => {
+      TextAnalysis.qualityScore(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID heuristic (rows-only; text is synthetic)
+    "ta03_langid" -> ((s, d) => {
+      TextAnalysis.langId(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowing fingerprint (xxhash64 — rows-only)
+    "ta04_fingerprint" -> ((s, d) => {
+      TextAnalysis.winnowingFingerprint(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal metadata through the binary pipeline — oracle on
+    // byte length + md5 (the stub's deterministic outputs)
+    "mm01_media_meta" -> ((s, d) => {
+      implicit val spark: SparkSession = s
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(docs(s, d), "doc_id", "text"))
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("payload_md5"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal feature extraction incl. batch shape (rows-only)
+    "mm02_media_features" -> ((s, d) => {
+      implicit val spark: SparkSession = s
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(docs(s, d), "doc_id", "text"), batchSize = 32)
+        // batch_size is partition-shape-dependent — excluded from output
+        .select(col("media_id"), round(element_at(col("feature"), 1), 6).as("f0"))
+        .orderBy(col("media_id"))
+    }))
+}

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // near-dup fixture: pairs (2i, 2i+1) differ by one appended word;
+  // singles are unrelated random-ish texts
+  private def mkText(seed: Int): String =
+    (0 until 40).map(k => s"w${(seed * 31 + k * 7) % 97}").mkString(" ")
+
+  lazy val nearDupDocs = (0 until 20).flatMap { i =>
+    val base = mkText(i)
+    Seq((i * 2L, base), (i * 2L + 1, base + " extraword"))
+  }.toDF("doc_id", "text")
+
+  test("exact dedup: identical texts share keeper, distinct don't") {
+    val dups = (Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "different")).toDF("doc_id", "text"))
+    val r = Dedup.exact(dups, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(r(1L) == ((2L, 1L, false)))
+    assert(r(2L) == ((2L, 1L, true)))
+    assert(r(3L) == ((1L, 3L, false)))
+  }
+
+  test("minhash LSH finds the planted near-dup pairs (high-jaccard recall)") {
+    val found = Dedup.minhashNearDups(nearDupDocs, "doc_id", "text", tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 20).foreach { i =>
+      assert(found.contains((i * 2L, i * 2L + 1)),
+        s"planted pair (${i * 2},${i * 2 + 1}) missed by MinHash-LSH")
+    }
+  }
+
+  test("minhash-LSH jaccard values equal brute-force exact jaccard") {
+    val all = nearDupDocs.select(col("doc_id").as("id_a"))
+      .crossJoin(nearDupDocs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val brute = Dedup.exactJaccard(nearDupDocs, all, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashNearDups(nearDupDocs, "doc_id", "text", tau = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(brute), "LSH reported a pair brute force rejects")
+  }
+
+  test("simhash: identical text ⇒ identical hash; near-dup ⇒ small hamming") {
+    val sigs = Dedup.simhash(nearDupDocs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val same = (Seq((10L, "alpha beta gamma"), (11L, "alpha beta gamma")))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.simhash(same, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(s2(10L) == s2(11L))
+    (0 until 20).foreach { i =>
+      val h = java.lang.Long.bitCount(sigs(i * 2L) ^ sigs(i * 2L + 1))
+      assert(h <= 12, s"near-dup pair $i hamming $h too large")
+    }
+  }
+
+  test("brute-force ANN: perturbed copy is its source's top-1") {
+    val base = (0 until 10).map { i =>
+      (i.toLong, (0 until 16).map(k => ((i * 17 + k * 3) % 13).toFloat / 13f + 0.1f))
+    }
+    val copies = base.map { case (id, v) =>
+      (id + 100, v.updated(0, v.head + 0.001f))
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(df,
+      df.filter(col("vec_id") >= 100), "vec_id", "embedding", k = 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toMap
+    base.foreach { case (id, _) =>
+      assert(top1(id + 100) == id, s"copy ${id + 100} top-1 was ${top1(id + 100)}")
+    }
+  }
+
+  test("LSH ANN scores agree with brute force for returned pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 100)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 6)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, s) =>
+      brute.get((a, b)).foreach(bs => assert(math.abs(bs - s) < 1e-9))
+    }
+  }
+
+  test("token stats values") {
+    val df = Seq((1L, "Hello, world! 42"), (2L, "  spaced   out  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(1L) == ((16, 3, 5))) // hello , world ! 42
+    assert(r(2L)._2 == 2)
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val df = Seq(
+      (1L, "le chat est sur la table et le chien est dans les champs"),
+      (2L, "der hund ist ein tier und die katze ist das beste"),
+      (3L, "the cat is on the table and the dog is in the yard"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(r(1L) == "fr" && r(2L) == "de" && r(3L) == "en")
+  }
+
+  test("winnowing fingerprint robust to a small edit") {
+    val a = mkText(7)
+    val b = a.replace("w8 ", "w8 inserted ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprint(df, "doc_id", "text")
+      .select("doc_id", "fingerprint").as[(Long, Seq[Long])].collect().toMap
+    val inter = fps(1L).toSet.intersect(fps(2L).toSet).size.toDouble
+    val overlap = inter / math.max(fps(1L).size, fps(2L).size)
+    assert(overlap >= 0.5, s"winnowing overlap $overlap too low after 1-word edit")
+  }
+
+  test("multimodal features deterministic under repartitioning + batch shape real") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media.repartition(1), batchSize = 16)
+      .select("media_id", "payload_md5", "feature").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Float](2))).toMap
+    val f7 = Multimodal.extractFeatures(media.repartition(7), batchSize = 16)
+      .select("media_id", "payload_md5", "feature").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Float](2))).toMap
+    assert(f1 == f7)
+    assert(f1.values.forall(_._2.length == 8))
+    val batches = Multimodal.extractFeatures(media.repartition(2), batchSize = 16)
+      .select("batch_size").as[Int].collect()
+    assert(batches.forall(_ <= 16) && batches.max == 16)
+  }
+}
