@@ -30,8 +30,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "20000").toLong
+    val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "50000").toLong
     val benchRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    // large per-round budget: amortizes per-round fixed cost so the
+    // throughput number measures schedule+dedup work, not job scheduling
+    val benchWindow = sys.env.getOrElse("GRAFT_BENCH_WINDOW", "600").toDouble
 
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +62,7 @@ object Bench {
     // synthetic frontier (the BASELINE.json headline metric)
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
     val cfg = CrawlConfig(
-      maxDepth = 3, maxPagesPerDomain = 12, roundWindowSec = 60.0,
+      maxDepth = 4, maxPagesPerDomain = 50, roundWindowSec = benchWindow,
       defaultCrawlDelaySec = 10.0, recrawlIntervalRounds = 1000,
       saltBuckets = 16, bloomExpectedItems = 10000000L,
       compactEveryRounds = 1000)

@@ -68,6 +68,9 @@ final class CrawlLoop(
 
     var r = startSnap
     var executed = 0
+    // golden-seq base: counted once on resume, then tracked incrementally
+    // (a full crawl_log count per round would rescan the whole log)
+    var seqBase = store.read("crawl_log").count()
     while (executed < rounds) {
       r += 1
       val in = RoundInputs(
@@ -80,7 +83,6 @@ final class CrawlLoop(
         robots = robots,
         hostDeaths = hostDeaths)
       if (in.frontier.isEmpty) { corpusHosts.unpersist(); return executed }
-      val seqBase = store.read("crawl_log").count()
       val out = Round.run(in, cfg, r, seqBase, seenSet)
       store.commit(r,
         overwrite = Map(
@@ -94,6 +96,7 @@ final class CrawlLoop(
           "btc_addresses" -> out.btcDelta,
           "crawl_log" -> out.crawlLogDelta,
           "metrics" -> out.metricsDelta))
+      seqBase += out.scheduledCount
       seenSet.update(out.seenDelta)
       if (r % cfg.compactEveryRounds == 0)
         store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets)

@@ -44,6 +44,7 @@ final case class RoundOutputs(
     btcDelta: DataFrame,
     crawlLogDelta: DataFrame,
     metricsDelta: DataFrame,
+    scheduledCount: Long,
     cached: Seq[DataFrame])
 
 /** ONE crawl round as a single DataFrame program (SURVEY.md §4.1):
@@ -197,8 +198,9 @@ object Round {
       .select(col("fingerprint"), col("e.*"))
       .persist()
 
-    // two-phase bloom + exact anti-join vs seen (J2)
-    val fresh0 = seenSet.filterNew(bestPerFp, in.seen)
+    // two-phase bloom + exact anti-join vs seen (J2); cached — consumed by
+    // crap detection (with a collect), seen delta, frontier and metrics
+    val fresh0 = seenSet.filterNew(bestPerFp, in.seen).persist()
 
     // subdomain-spam (is_crap) detection on the fresh candidate hosts
     val baseExpr = regexp_extract(col("host"), "([a-z2-7]{16}|[a-z2-7]{56})\\.onion$", 0)
@@ -348,8 +350,9 @@ object Round {
       btcDelta = btcDelta,
       crawlLogDelta = crawlLogDelta,
       metricsDelta = metricsDelta,
-      cached = Seq(scheduled, joined, parsed.toDF(), misses, bestPerFp, fresh,
-        missHostsD, newHostRows))
+      scheduledCount = scheduled.count(),
+      cached = Seq(scheduled, joined, parsed.toDF(), misses, bestPerFp, fresh0,
+        fresh, missHostsD, newHostRows))
   }
 
   /** is_crap via subdomain-bomb bases: membership test against the (tiny)

@@ -51,15 +51,21 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     val prev: Map[String, Seq[String]] =
       latestSnapshot.map(readManifest).getOrElse(Map.empty)
 
+    val timing = sys.env.contains("GRAFT_TIMING")
+    def timedWrite(t: String, rel: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+      if (timing) println(f"[timing] snap=$snap%d write $t%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
     val entries = scala.collection.mutable.Map[String, Seq[String]](prev.toSeq: _*)
     overwrite.foreach { case (t, df) =>
       val rel = f"$t/snap-$snap%06d"
-      df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+      timedWrite(t, rel, df)
       entries(t) = Seq(rel)
     }
     append.foreach { case (t, df) =>
       val rel = f"$t/delta-$snap%06d"
-      df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+      timedWrite(t, rel, df)
       entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
     }
 

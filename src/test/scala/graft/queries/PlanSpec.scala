@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import graft.frontier.Politeness
+import graft.model.CrawlConfig
+import graft.pipeline.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests (SURVEY.md §4): the scale properties —
+  * column pruning into the parquet scan, predicate pushdown, broadcast
+  * joins for dims, map-side partial aggregation, salted two-phase
+  * windows — asserted on the optimized plans so a refactor can't silently
+  * regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: parquet scan pruned to the 5 needed lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "scan reads l_orderkey it never needs")
+    assert(!p.contains("l_shipdate"), "scan reads l_shipdate it never needs")
+    assert(p.contains("l_returnflag") && p.contains("l_quantity"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) + final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "no map-side partial aggregation in the plan")
+  }
+
+  test("q18: dimension join is a BroadcastHashJoin") {
+    assert(plan("q18_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q04/q05: semi and anti joins planned as such") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q03: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q03_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_custkey") === 42).select("o_orderkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("politeness: phase-1 window is salted (no single-task hot host)") {
+    val frontier = Seq(("http://a.onion/", "a.onion", 2, "new", 0, 1L, "", 1, 0))
+      .toDF("url", "host", "priority", "tier", "depth", "enqueue_seq",
+        "discovered_from", "round", "retries")
+      .withColumn("crawl_delay", lit(10.0))
+      .withColumn("pages_crawled", lit(0))
+    val p = Politeness.schedule(frontier, CrawlConfig())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), "phase-1 window lost its salt")
+    assert("row_number".r.findAllIn(p).size >= 2, "expected two ranking phases")
+  }
+
+  test("minhash signatures: one partial+final hash aggregate, no collect") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      "minhash mins not map-side partial")
+    assert(!p.contains("CollectLimit"))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // AQE finalizes the plan only on execution — run it, then inspect
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"q01 fell out of codegen:\n$p")
+  }
+}
