@@ -88,8 +88,11 @@ object Round {
       .filter(coalesce(col("is_crap"), lit(false)) === false)
       .filter(coalesce(col("dead_in_a_row"), lit(0)) < cfg.deadRetireThreshold)
 
-    // ---- 2. robots gate: denied rows are consumed (logged), never fetched
-    val gated = Robots.gate(eligible, in.robots, cfg)
+    // ---- 2. robots gate: denied rows are consumed (logged), never fetched.
+    // Cached: re-used by the carry-over anti-join, next-frontier build and
+    // per-partition metrics — without the cache each of the 9 table writes
+    // that reach it re-runs the eligibility joins + robots UDF.
+    val gated = Robots.gate(eligible, in.robots, cfg).persist()
     val denied = gated.filter(!col("robots_allowed"))
     val allowed = gated.filter(col("robots_allowed"))
 
@@ -265,6 +268,7 @@ object Round {
         struct((lit(Priorities.NewOnion) - col("priority")).as("inv_priority"),
           col("enqueue_seq"))).as("e"))
       .select((Seq(col("url")) ++ frontierCols.filter(_ != "url").map(n => col(s"e.$n"))): _*)
+      .persist() // consumed by the frontier write AND the new-host probe
 
     // ---- 12. domains merge (K1 upsert = full-outer + coalesce)
     // any HTTP response (200 or 404) counts as "host alive" observation;
@@ -313,8 +317,12 @@ object Round {
       .filter(col("is_frontpage") && col("content_sha1").isNotNull)
       .groupBy(col("host"))
       .agg(max_by(col("content_sha1"), col("visited_round")).as("content_sha1"))
+    // first-seen source: the COMMITTED domains table, not mergedBase —
+    // avoids evaluating the merge DAG twice in one write. Equivalent
+    // outcome: hosts absent there (first seen this round) rank as
+    // "newest" either way and tie-break by host name.
     val cloneFlags = Clones.detect(frontPagesAll,
-      mergedBase.select(col("host"), col("first_seen_round")))
+      in.domains.select(col("host"), col("first_seen_round")))
     val domainsNext = mergedBase
       .join(cloneFlags.withColumnRenamed("is_fake", "cf_fake")
         .withColumnRenamed("genuine_host", "cf_genuine"), Seq("host"), "left")
@@ -351,8 +359,8 @@ object Round {
       crawlLogDelta = crawlLogDelta,
       metricsDelta = metricsDelta,
       scheduledCount = scheduled.count(),
-      cached = Seq(scheduled, joined, parsed.toDF(), misses, bestPerFp, fresh0,
-        fresh, missHostsD, newHostRows))
+      cached = Seq(gated, scheduled, joined, parsed.toDF(), misses, bestPerFp,
+        fresh0, fresh, missHostsD, newHostRows, frontierNext))
   }
 
   /** is_crap via subdomain-bomb bases: membership test against the (tiny)

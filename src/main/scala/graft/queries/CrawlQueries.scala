@@ -99,5 +99,17 @@ object CrawlQueries {
         .agg(sum("urls_in").as("urls_in"), sum("denied").as("denied"),
           sum("deduped").as("deduped"), sum("scheduled").as("scheduled"),
           sum("fetched").as("fetched"), sum("new_onions").as("new_onions"))
-        .orderBy("round")))
+        .orderBy("round")),
+
+    // SQL entry point over registered snapshot views + JSON projection
+    // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)
+    "crawl10_sql_api" -> ((s, _) => {
+      graft.analytics.Api.registerViews(store(s), s)
+      val top = graft.analytics.Api.sql(s,
+        """SELECT d.host, d.is_up, count(p.url) AS n_pages
+          |FROM graft_domains d LEFT JOIN graft_pages p ON d.host = p.host
+          |GROUP BY d.host, d.is_up
+          |ORDER BY n_pages DESC, d.host ASC LIMIT 15""".stripMargin)
+      graft.analytics.Api.asJsonLines(top)
+    }))
 }
