@@ -330,20 +330,24 @@ object Round {
       .withColumn("genuine_host", coalesce(col("cf_genuine"), col("genuine_host")))
       .drop("cf_fake", "cf_genuine")
 
-    // ---- 13. per-partition lineage + metrics (A7, NORM)
-    def perPart(df: DataFrame, name: String): DataFrame = df
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as(name))
+    // ---- 13. per-partition lineage + metrics (A7, NORM): ONE job — each
+    // source tagged and unioned, a single shuffle pivots the counts into
+    // columns (the previous 6-aggregate/5-join formulation cost ~10s of
+    // driver planning+codegen per round on its own).
+    def tag(df: DataFrame, name: String): DataFrame = df
+      .select(spark_partition_id().as("partition_id"), lit(name).as("m"))
     val dropped = bestPerFp.join(fresh.select("fingerprint"), Seq("fingerprint"), "left_anti")
-    val metricsDelta = Seq(
-      perPart(in.frontier, "urls_in"),
-      perPart(denied, "denied"),
-      perPart(dropped, "deduped"),
-      perPart(scheduled, "scheduled"),
-      perPart(parsed.toDF(), "fetched"),
-      perPart(newHostRows, "new_onions"))
-      .reduce((a, b) => a.join(b, Seq("partition_id"), "full_outer"))
-      .na.fill(0L)
+    val tagged = Seq(
+      tag(in.frontier, "urls_in"), tag(denied, "denied"),
+      tag(dropped, "deduped"), tag(scheduled, "scheduled"),
+      tag(parsed.toDF(), "fetched"), tag(newHostRows, "new_onions"))
+      .reduce(_ unionByName _)
+    def cnt(name: String) =
+      sum(when(col("m") === name, 1L).otherwise(0L)).as(name)
+    val metricsDelta = tagged
+      .groupBy(col("partition_id"))
+      .agg(cnt("urls_in"), cnt("denied"), cnt("deduped"), cnt("scheduled"),
+        cnt("fetched"), cnt("new_onions"))
       .select(lit(round).as("round"), col("partition_id"), col("urls_in"),
         col("denied"), col("deduped"), col("scheduled"), col("fetched"),
         col("new_onions"))

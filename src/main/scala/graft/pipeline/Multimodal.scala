@@ -49,6 +49,11 @@ object Multimodal {
     * prefix sums. Replace with the real decoder; signature (an iterator
     * of row BATCHES in, iterator out) is the production shape.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
     val bs = batch.size
     batch.map { m =>
@@ -61,8 +66,8 @@ object Multimodal {
       MediaFeatures(
         media_id = m.media_id,
         n_bytes = m.payload.length,
-        payload_md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(m.payload).map(b => f"${b & 0xff}%02x").mkString,
+        payload_md5 = { md5Local.get().reset()
+          md5Local.get().digest(m.payload).map(b => f"${b & 0xff}%02x").mkString },
         feature = feat,
         batch_size = bs)
     }

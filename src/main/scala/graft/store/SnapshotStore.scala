@@ -58,16 +58,26 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       if (timing) println(f"[timing] snap=$snap%d write $t%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
     }
     val entries = scala.collection.mutable.Map[String, Seq[String]](prev.toSeq: _*)
+    // overwrite tables first, sequentially: they sit atop the round's
+    // cached intermediates and materialize them once for everyone
     overwrite.foreach { case (t, df) =>
       val rel = f"$t/snap-$snap%06d"
       timedWrite(t, rel, df)
       entries(t) = Seq(rel)
     }
-    append.foreach { case (t, df) =>
+    // append deltas are independent sinks over already-materialized
+    // caches: submit them CONCURRENTLY so driver-side planning/codegen of
+    // one write overlaps executor work of another (the driver is the
+    // bottleneck between small stages, not the executors)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = SnapshotStore.commitPool
+    val futures = append.toSeq.map { case (t, df) =>
       val rel = f"$t/delta-$snap%06d"
-      timedWrite(t, rel, df)
       entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
+      Future(timedWrite(t, rel, df))
     }
+    futures.foreach(Await.result(_, Duration.Inf))
 
     val tmp = root.resolve(f"_snap-$snap%06d.json.tmp")
     Files.writeString(tmp, renderManifest(entries.toMap))
@@ -128,4 +138,19 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       m.group(1) -> strRx.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
     }.toMap
   }
+}
+
+object SnapshotStore {
+  /** Shared pool for concurrent append writes (bounded — each write is
+    * itself a parallel Spark job).
+    */
+  private[store] lazy val commitPool =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        8,
+        r => {
+          val t = new Thread(r, "snapshot-commit")
+          t.setDaemon(true)
+          t
+        }))
 }

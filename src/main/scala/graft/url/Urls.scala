@@ -147,12 +147,28 @@ object Urls {
   def fingerprint(url: String): String =
     sha1Hex("GET " + canonicalize(url))
 
+  // MessageDigest.getInstance takes a java.security.Provider lock — at 32
+  // executor threads a per-row getInstance serializes the whole stage
+  // (measured: 4-7x slowdown at local[32] vs local[4]). One digest per
+  // thread, reset per use.
+  private val sha1Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-1")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha1Hex(s: String): String = {
-    val md = MessageDigest.getInstance("SHA-1")
+    val md = sha1Local.get()
+    md.reset()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(40)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](40)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** RFC 3986 resolution of href against base (SURVEY.md §3.7 R3), with
