@@ -60,9 +60,14 @@ final case class RoundOutputs(
   */
 object Round {
 
-  private val hostUdf = udf((u: String) => Urls.hostOf(u))
-  private val pathUdf = udf((u: String) => Urls.pathOf(u))
-  private val fpUdf = udf((u: String) => Urls.fingerprint(u))
+  // hot-path URL functions as native Catalyst expressions (codegen'd,
+  // null-safe, no per-row boxing) — see graft.functions.UrlExpressions
+  private def hostUdf(c: org.apache.spark.sql.Column) =
+    graft.functions.UrlExpressions.url_host(c)
+  private def pathUdf(c: org.apache.spark.sql.Column) =
+    graft.functions.UrlExpressions.url_path(c)
+  private def fpUdf(c: org.apache.spark.sql.Column) =
+    graft.functions.UrlExpressions.url_fingerprint(c)
   private val discSeqUdf =
     udf((r: Int, parent: String, pos: Int) => EnqueueSeq.forDiscovered(r, parent, pos))
   private val requeueSeqUdf =
