@@ -36,10 +36,11 @@ object Bench {
     // throughput number measures schedule+dedup work, not job scheduling
     val benchWindow = sys.env.getOrElse("GRAFT_BENCH_WINDOW", "600").toDouble
 
+    val parts = sys.env.getOrElse("GRAFT_BENCH_PARTITIONS", cpus)
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -120,8 +120,19 @@ object Round {
     //   doc absent but host serves others -> 404 (permanent, NO retry)
     //   host absent from corpus / death-scheduled -> connection failure
     //     (dead-host signal: dead_in_a_row++, retry tier)
+    //
+    // The corpus side is FAT (spans). A plain join shuffles+sorts every
+    // document every round; instead a ~1MB Bloom over this round's
+    // scheduled URLs prefilters the corpus map-side, so only
+    // actually-fetched docs (+ FP noise) reach the shuffle. Exactness is
+    // unaffected: the equi-join discards Bloom false positives.
+    val scheduledCnt = scheduled.count()
+    val urlBloom = spark.sparkContext.broadcast(
+      scheduled.stat.bloomFilter("url", math.max(1L, scheduledCnt), 0.01))
+    val mightFetch = udf((u: String) => u != null && urlBloom.value.mightContainString(u))
+    val corpusPruned = in.corpus.filter(mightFetch(col("doc_id")))
     val joined = scheduled
-      .join(in.corpus, scheduled("url") === in.corpus("doc_id"), "left")
+      .join(corpusPruned, scheduled("url") === corpusPruned("doc_id"), "left")
       .join(broadcast(in.hostDeaths), Seq("host"), "left")
       .join(in.corpusHosts.withColumn("host_in_corpus", lit(true)), Seq("host"), "left")
       .withColumn("host_alive",
@@ -367,7 +378,7 @@ object Round {
       btcDelta = btcDelta,
       crawlLogDelta = crawlLogDelta,
       metricsDelta = metricsDelta,
-      scheduledCount = scheduled.count(),
+      scheduledCount = scheduledCnt,
       cached = Seq(gated, scheduled, joined, parsed.toDF(), misses, bestPerFp,
         fresh0, fresh, missHostsD, newHostRows, frontierNext))
   }

@@ -152,6 +152,26 @@ object Oracles {
         |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q20_time_window_agg" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above_avg
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q22_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_rich
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // ------------------------------------------------ pipeline oracles
 
     "dd01_exact_dups" ->

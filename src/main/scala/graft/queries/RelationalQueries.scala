@@ -220,6 +220,39 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // T5-shape: event-time tumbling window aggregation (batch twin of the
+    // streaming windowedCounts — see graft.streaming.EventStreams)
+    "q20_time_window_agg" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Catalyst subquery decorrelation, through the SQL entry point
+    "q21_correlated_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_above_avg
+          |FROM v_orders o
+          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+          |                      FROM v_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
+
+    // scalar subquery (global aggregate reused per row)
+    "q22_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_rich
+          |FROM v_customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // O3: union + distinct aggregation across two sources
     "q19_union_distinct_agg" -> ((s, d) => {
       val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))

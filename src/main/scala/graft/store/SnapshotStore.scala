@@ -69,15 +69,27 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     // caches: submit them CONCURRENTLY so driver-side planning/codegen of
     // one write overlaps executor work of another (the driver is the
     // bottleneck between small stages, not the executors)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = SnapshotStore.commitPool
-    val futures = append.toSeq.map { case (t, df) =>
-      val rel = f"$t/delta-$snap%06d"
-      entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
-      Future(timedWrite(t, rel, df))
+    // Sequential by default: measured on the 32-core sandbox, concurrent
+    // delta writes oversubscribe the executor threads (8 jobs x 32-task
+    // stages) and cost ~55% throughput at local[32]; they only help when
+    // cores far exceed per-job parallelism. Opt in with GRAFT_PAR_COMMIT.
+    if (!sys.env.contains("GRAFT_PAR_COMMIT")) {
+      append.foreach { case (t, df) =>
+        val rel = f"$t/delta-$snap%06d"
+        timedWrite(t, rel, df)
+        entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
+      }
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = SnapshotStore.commitPool
+      val futures = append.toSeq.map { case (t, df) =>
+        val rel = f"$t/delta-$snap%06d"
+        entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
+        Future(timedWrite(t, rel, df))
+      }
+      futures.foreach(Await.result(_, Duration.Inf))
     }
-    futures.foreach(Await.result(_, Duration.Inf))
 
     val tmp = root.resolve(f"_snap-$snap%06d.json.tmp")
     Files.writeString(tmp, renderManifest(entries.toMap))
