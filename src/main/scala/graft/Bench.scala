@@ -30,10 +30,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "50000").toLong
+    val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "200000").toLong
     val benchRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
-    // large per-round budget: amortizes per-round fixed cost so the
-    // throughput number measures schedule+dedup work, not job scheduling
+    // 200k hosts ≈ 760k URLs through schedule+dedup in 3 rounds — big
+    // enough that the throughput number measures operator work, small
+    // enough to fit the default 8g driver heap (measured: ~120s crawl at
+    // local[32]). Large per-round budget amortizes per-round fixed cost.
     val benchWindow = sys.env.getOrElse("GRAFT_BENCH_WINDOW", "600").toDouble
 
     val parts = sys.env.getOrElse("GRAFT_BENCH_PARTITIONS", cpus)
