@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   * cluster in this sandbox, so two parallelism levels stand in for
   * N vs 4N executors):
   *   SPARK_GRAFT_CPUS   executor threads (e.g. 8 vs 32)
-  *   GRAFT_BENCH_HOSTS  synthetic frontier scale (default 20000 hosts
-  *                      ≈ 120k URLs through schedule+dedup per run)
+  *   GRAFT_BENCH_HOSTS  synthetic frontier scale (default 200000 hosts
+  *                      ≈ 760k URLs through schedule+dedup per run)
   *   GRAFT_BENCH_ROUNDS crawl rounds (default 3)
   */
 object Bench {
