@@ -54,13 +54,13 @@ final class CrawlLoop(
       robots: Dataset[RobotsRule],
       hostDeaths: DataFrame,
       rounds: Int): Int = {
-    val seenSet = new SeenSet(cfg, store.rootDir)
+    val startSnap = store.latestSnapshot.getOrElse(
+      throw new IllegalStateException("call init() first"))
+    val seenSet = new SeenSet(cfg, store.rootDir, store.latestSnapshot)
     // corpus is immutable: derive the live-host set once, reuse all rounds
     val hostUdf = udf((u: String) => Urls.hostOf(u))
     val corpusHosts = corpus.select(hostUdf(col("doc_id")).as("host"))
       .distinct().persist()
-    val startSnap = store.latestSnapshot.getOrElse(
-      throw new IllegalStateException("call init() first"))
     // no checkpointed filter (fresh run or lost sidecar): rebuild from the
     // authoritative seen table — an empty Bloom over non-empty seen would
     // wrongly bypass the exact anti-join for every rediscovered URL
@@ -84,6 +84,9 @@ final class CrawlLoop(
         hostDeaths = hostDeaths)
       if (in.frontier.isEmpty) { corpusHosts.unpersist(); return executed }
       val out = Round.run(in, cfg, r, seqBase, seenSet)
+      // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
+      // bloom-behind is not (see SeenSet scaladoc / crash-consistency)
+      seenSet.update(out.seenDelta, r)
       store.commit(r,
         overwrite = Map(
           "frontier" -> out.frontierNext,
@@ -97,7 +100,6 @@ final class CrawlLoop(
           "crawl_log" -> out.crawlLogDelta,
           "metrics" -> out.metricsDelta))
       seqBase += out.scheduledCount
-      seenSet.update(out.seenDelta)
       if (r % cfg.compactEveryRounds == 0)
         store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets)
       out.cached.foreach(_.unpersist())

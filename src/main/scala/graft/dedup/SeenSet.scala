@@ -4,6 +4,7 @@ import graft.model.CrawlConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
+import java.io.{DataInputStream, DataOutputStream}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Two-phase URL-seen dedup (SURVEY.md §3.3 J2 — THE hot join at 10^10
@@ -20,50 +21,96 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *     negatives are impossible for inserted keys.
   *
   * The filter is built INCREMENTALLY: each round only the new seen delta
-  * is aggregated into a per-round Bloom merged into the persistent one
-  * (`mergeInPlace`), then checkpointed next to the snapshot manifests so
-  * resume does not re-scan 10^10 rows to rebuild it.
+  * is merged into the persistent filter (`mergeInPlace`), then
+  * checkpointed next to the snapshot manifests so resume does not re-scan
+  * 10^10 rows to rebuild it.
+  *
+  * Crash consistency: the sidecar is TAGGED with the snapshot id it
+  * corresponds to and written BEFORE the store flips `_latest` to that
+  * snapshot. A filter AHEAD of the committed seen table (crash between
+  * sidecar write and manifest flip) is safe — the extra fingerprints are
+  * Bloom positives routed into the exact anti-join, which keeps them; a
+  * filter BEHIND the seen table would produce false negatives that bypass
+  * the anti-join, so any other tag mismatch forces `rebuildFrom(seen)`.
   */
-final class SeenSet(cfg: CrawlConfig, stateDir: String) {
+final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[Int]) {
 
   private val bloomPath: Path = Paths.get(stateDir, "seen.bloom")
 
-  /** true iff a checkpointed filter was found on disk. */
-  val loadedFromCheckpoint: Boolean = Files.exists(bloomPath)
+  // identical (expectedItems, numBits) sizing everywhere (persistent
+  // filter, per-round delta, rebuild) — sketch mergeInPlace requires the
+  // exact same bit width and hash count. Formula mirrors
+  // BloomFilter.optimalNumOfBits(n, p).
+  private[dedup] val numBits: Long = math.max(
+    64L,
+    (-cfg.bloomExpectedItems * math.log(cfg.bloomFpp) /
+      (math.log(2) * math.log(2))).toLong)
 
-  private var bloom: BloomFilter =
-    if (loadedFromCheckpoint) {
-      val in = Files.newInputStream(bloomPath)
-      try BloomFilter.readFrom(in) finally in.close()
-    } else BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
+  private var bloom: BloomFilter = null
+
+  /** true iff a checkpointed filter valid for `latestSnapshot` was found. */
+  val loadedFromCheckpoint: Boolean = readSidecar() match {
+    case Some((tag, bf)) =>
+      val latest = latestSnapshot.getOrElse(-1)
+      // tag == latest: clean. tag == latest + 1: crash between sidecar
+      // write and manifest flip — ahead-by-one, FP-safe (see scaladoc).
+      if (tag == latest || tag == latest + 1) { bloom = bf; true } else false
+    case None => false
+  }
+
+  if (bloom == null) bloom = BloomFilter.create(cfg.bloomExpectedItems, numBits)
+
+  private def readSidecar(): Option[(Int, BloomFilter)] = {
+    if (!Files.exists(bloomPath)) return None
+    val in = new DataInputStream(Files.newInputStream(bloomPath))
+    try {
+      val magic = in.readInt()
+      if (magic != SeenSet.Magic) None
+      else Some((in.readInt(), BloomFilter.readFrom(in)))
+    } catch { case _: java.io.IOException => None } finally in.close()
+  }
 
   /** Rebuild from the authoritative `seen` table (used on resume when the
-    * checkpointed filter is missing — an EMPTY filter over a non-empty
-    * seen set would wrongly mark everything "definitely new").
+    * checkpointed filter is missing or tagged with the wrong snapshot —
+    * a stale filter over a newer seen set would wrongly mark rediscovered
+    * URLs "definitely new").
     */
   def rebuildFrom(seen: DataFrame): Unit = {
     if (seen.isEmpty) return
-    // sized like the deltas so future mergeInPlace stays compatible; an
-    // under-sized filter only raises FPP, never breaks correctness
-    bloom = seen.stat.bloomFilter(
-      "fingerprint", cfg.bloomExpectedItems, cfg.bloomFpp)
+    bloom = seen.stat.bloomFilter("fingerprint", cfg.bloomExpectedItems, numBits)
   }
 
   /** Merge a round's new fingerprints into the persistent filter and
-    * checkpoint it (atomic rename — crash-safe alongside the manifest).
+    * checkpoint it tagged with `snap` (atomic rename). MUST be called
+    * before the store commits snapshot `snap` — see class scaladoc.
     */
-  def update(seenDelta: DataFrame): Unit = {
+  def update(seenDelta: DataFrame, snap: Int): Unit = {
     // empty delta: BloomFilterAggregate yields null (NPE in readFrom)
     if (seenDelta.isEmpty) return
-    // must be sized identically to the persistent filter or mergeInPlace
-    // rejects it (same bit width + hash count required)
     val delta = seenDelta.stat.bloomFilter(
-      "fingerprint", cfg.bloomExpectedItems, cfg.bloomFpp)
+      "fingerprint", cfg.bloomExpectedItems, numBits)
+    mergeBloom(delta, snap)
+  }
+
+  /** Same as [[update]] but from already-serialized bloom bytes (e.g. a
+    * `bloom_filter_agg` observed on the seen-delta branch of the combined
+    * append write — zero extra jobs). `bytes` may be null (empty delta).
+    */
+  def updateFromBytes(bytes: Array[Byte], snap: Int): Unit = {
+    if (bytes == null) return
+    mergeBloom(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)), snap)
+  }
+
+  private def mergeBloom(delta: BloomFilter, snap: Int): Unit = {
     bloom.mergeInPlace(delta)
     Files.createDirectories(bloomPath.getParent)
     val tmp = bloomPath.resolveSibling("seen.bloom.tmp")
-    val out = Files.newOutputStream(tmp)
-    try bloom.writeTo(out) finally out.close()
+    val out = new DataOutputStream(Files.newOutputStream(tmp))
+    try {
+      out.writeInt(SeenSet.Magic)
+      out.writeInt(snap)
+      bloom.writeTo(out)
+    } finally out.close()
     Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -79,4 +126,9 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String) {
     definitelyNew.unionByName(
       maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
   }
+}
+
+object SeenSet {
+  /** sidecar header magic ("GSB1" — graft seen bloom v1). */
+  private[dedup] val Magic: Int = 0x47534231
 }

@@ -35,9 +35,13 @@ object Politeness {
     */
   def schedule(frontier: DataFrame, cfg: CrawlConfig, minDelaySec: Double = 1.0): DataFrame = {
     val budgetCap = math.max(1, math.floor(cfg.roundWindowSec / minDelaySec).toInt)
-    val budget = greatest(
-      lit(1),
-      floor(lit(cfg.roundWindowSec) / col("crawl_delay")).cast("int"))
+    // budget is clamped to budgetCap: the two-phase top-k is only exact
+    // when phase 1 keeps >= perHostCap rows per host, so a robots-supplied
+    // crawl_delay below minDelaySec must not push the budget past the
+    // phase-1 cap (the effective floor on delay is minDelaySec).
+    val budget = least(
+      greatest(lit(1), floor(lit(cfg.roundWindowSec) / col("crawl_delay")).cast("int")),
+      lit(budgetCap))
     val remaining = greatest(
       lit(0),
       lit(cfg.maxPagesPerDomain) - coalesce(col("pages_crawled"), lit(0)))

@@ -42,13 +42,15 @@ object Hashing {
   *   bits 43..12 : fnv1a64(parent canonical URL) low 32 bits
   *   bits 11..0  : link position within the parent (span-order), capped
   *
-  * Seeds use parent = "" and position = hash of own URL, so seed order is
-  * deterministic too. Collisions are harmless: the total crawl order adds
+  * Seeds are round-0 entries: a 44-bit hash of the seed's own canonical
+  * URL, so every seed sorts before any discovered/requeued entry (FIFO
+  * across rounds holds for round 0 too) with a deterministic intra-seed
+  * order. Collisions are harmless: the total crawl order adds
   * `canonical_url ASC` as the final tie-break (SURVEY.md §6.1 O1).
   */
 object EnqueueSeq {
   def forSeed(canonUrl: String): Long =
-    (Hashing.fnv1a64(canonUrl) & 0xffffffffffffL)
+    (Hashing.fnv1a64(canonUrl) & 0xfffffffffffL)
 
   def forDiscovered(enqueueRound: Int, parentCanon: String, linkPos: Int): Long =
     (enqueueRound.toLong << 44) |

@@ -60,9 +60,14 @@ object Urls {
     val (host, port) = hostPort.lastIndexOf(':') match {
       case -1 => (hostPort, -1)
       case i =>
+        // toIntOption + range check keeps canonicalize TOTAL: an all-digit
+        // port beyond Int/65535 (http://x:99999999999/) must not throw —
+        // fall back to treating the whole authority as the hostname
         val p = hostPort.substring(i + 1)
-        if (p.forall(_.isDigit) && p.nonEmpty) (hostPort.substring(0, i), p.toInt)
-        else (hostPort, -1)
+        p.toIntOption.filter(v => v >= 0 && v <= 65535) match {
+          case Some(v) => (hostPort.substring(0, i), v)
+          case None    => (hostPort, -1)
+        }
     }
     if (host.isEmpty) None
     else Some((scheme, host.toLowerCase, port, path, query, fragment))
