@@ -24,6 +24,20 @@ object Lookups {
       .orderBy(col("n_hosts").desc, col("value").asc)
       .limit(k)
 
+  /** Clone-evidence tie-in (J7 over `ssh_fps` + A6's "matching SSH fp"
+    * rule): fingerprints shared by more than one host — reused
+    * infrastructure — with each sharing host's clone marking, so a shared
+    * host key corroborates the content-based `is_fake` flags.
+    */
+  def sharedInfrastructure(sshFps: DataFrame, domains: DataFrame): DataFrame =
+    sshFps.groupBy(col("value").as("ssh_fp"))
+      .agg(sort_array(collect_set(col("host"))).as("hosts"))
+      .filter(size(col("hosts")) > 1)
+      .select(col("ssh_fp"), explode(col("hosts")).as("host"))
+      .join(domains.select(col("host"), col("is_fake"), col("genuine_host")),
+        Seq("host"), "left")
+      .select("ssh_fp", "host", "is_fake", "genuine_host")
+
   /** In/out link degree per host (link-graph neighbor summary). */
   def linkDegrees(links: DataFrame): DataFrame = {
     val out = links.groupBy(col("src_host").as("host"))

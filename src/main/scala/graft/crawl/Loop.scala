@@ -21,7 +21,7 @@ final class CrawlLoop(
 
   private val Overwrite = Seq("frontier", "domains")
   private val Appends = Seq("seen", "pages", "links", "emails", "btc_addresses",
-    "crawl_log", "metrics")
+    "ssh_fps", "open_ports", "crawl_log", "metrics")
 
   /** Snapshot 0: seed frontier + seed-seen (Scrapy marks seen at ENQUEUE
     * time — SURVEY.md §6.5) + empty entity tables.
@@ -44,6 +44,8 @@ final class CrawlLoop(
         "links" -> spark.emptyDataset[LinkRow].toDF(),
         "emails" -> spark.emptyDataset[FactRow].toDF(),
         "btc_addresses" -> spark.emptyDataset[FactRow].toDF(),
+        "ssh_fps" -> spark.emptyDataset[FactRow].toDF(),
+        "open_ports" -> spark.emptyDataset[FactRow].toDF(),
         "crawl_log" -> spark.emptyDataset[CrawlLogEntry].toDF(),
         "metrics" -> spark.emptyDataset[MetricsRow].toDF()))
   }
@@ -97,6 +99,8 @@ final class CrawlLoop(
           "links" -> out.linksDelta,
           "emails" -> out.emailsDelta,
           "btc_addresses" -> out.btcDelta,
+          "ssh_fps" -> out.sshFpsDelta,
+          "open_ports" -> out.portsDelta,
           "crawl_log" -> out.crawlLogDelta,
           "metrics" -> out.metricsDelta))
       seqBase += out.scheduledCount

@@ -18,7 +18,8 @@ final case class FetchInput(
 final case class ParsedPage(
     url: String, host: String, depth: Int, title: String, content_sha1: String,
     links: Seq[ExtractedLink], media_refs: Seq[String], onions: Seq[String],
-    emails: Seq[String], btcs: Seq[String])
+    emails: Seq[String], btcs: Seq[String], ssh_fps: Seq[String],
+    ports: Seq[String])
 
 final case class RoundInputs(
     frontier: DataFrame,
@@ -42,6 +43,8 @@ final case class RoundOutputs(
     linksDelta: DataFrame,
     emailsDelta: DataFrame,
     btcDelta: DataFrame,
+    sshFpsDelta: DataFrame,
+    portsDelta: DataFrame,
     crawlLogDelta: DataFrame,
     metricsDelta: DataFrame,
     scheduledCount: Long,
@@ -150,7 +153,8 @@ object Round {
       .map { f =>
         val p = SpanExtract.parse(f.url, f.spans.getOrElse(Seq.empty))
         ParsedPage(f.url, f.host, f.depth, p.title, p.content_sha1,
-          p.links, p.media_refs, p.onions, p.emails, p.btcs)
+          p.links, p.media_refs, p.onions, p.emails, p.btcs, p.ssh_fps,
+          p.ports)
       }
       .persist()
 
@@ -188,6 +192,8 @@ object Round {
       .withColumn("round", lit(round))
     val emailsDelta = factDelta("emails")
     val btcDelta = factDelta("btcs")
+    val sshFpsDelta = factDelta("ssh_fps")
+    val portsDelta = factDelta("ports")
 
     // ---- 8. discoveries: anchors (span order) + plain-text onion mentions
     val anchorCand = parsed
@@ -376,6 +382,8 @@ object Round {
       linksDelta = linksDelta,
       emailsDelta = emailsDelta,
       btcDelta = btcDelta,
+      sshFpsDelta = sshFpsDelta,
+      portsDelta = portsDelta,
       crawlLogDelta = crawlLogDelta,
       metricsDelta = metricsDelta,
       scheduledCount = scheduledCnt,

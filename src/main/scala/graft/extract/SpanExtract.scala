@@ -19,7 +19,9 @@ final case class Parsed(
     media_refs: Seq[String],
     onions: Seq[String],
     emails: Seq[String],
-    btcs: Seq[String])
+    btcs: Seq[String],
+    ssh_fps: Seq[String],
+    ports: Seq[String])
 
 /** Pure per-document parser (SURVEY.md §3.10 U5) — regex + RFC 3986
   * resolution is genuinely imperative, so it runs as ONE typed flatMap
@@ -32,6 +34,11 @@ object SpanExtract {
   val OnionRx = """([a-z2-7]{16}|[a-z2-7]{56})\.onion""".r
   val EmailRx = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""".r
   val BtcRx = """\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b""".r
+  /** SSH host-key fingerprint + open-port scan facts (the reference keeps
+    * both per onion and correlates shared keys with content clones).
+    */
+  val SshFpRx = """SHA256:[A-Za-z0-9]{43}""".r
+  val PortRx = """\b(\d{1,5})/tcp open""".r
 
   /** Span-order fidelity (SURVEY.md §9.5 #5): ALWAYS re-sort by offset —
     * never trust arrival order after a shuffle/explode.
@@ -65,6 +72,8 @@ object SpanExtract {
       OnionRx.findAllMatchIn(joined).map(m => m.matched.toLowerCase).toSeq)
     val emails = distinctInOrder(EmailRx.findAllMatchIn(joined).map(_.matched).toSeq)
     val btcs = distinctInOrder(BtcRx.findAllMatchIn(joined).map(_.matched).toSeq)
+    val sshFps = distinctInOrder(SshFpRx.findAllMatchIn(joined).map(_.matched).toSeq)
+    val ports = distinctInOrder(PortRx.findAllMatchIn(joined).map(_.group(1)).toSeq)
 
     Parsed(
       url = baseUrl,
@@ -75,7 +84,9 @@ object SpanExtract {
       media_refs = media,
       onions = onions,
       emails = emails,
-      btcs = btcs)
+      btcs = btcs,
+      ssh_fps = sshFps,
+      ports = ports)
   }
 
   private def distinctInOrder(xs: Seq[String]): Seq[String] = {

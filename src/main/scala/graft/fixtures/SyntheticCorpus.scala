@@ -101,14 +101,54 @@ object SyntheticCorpus {
 
   def emailOf(i: Long): String = s"admin${cloneSource(i) % 50}@mail${cloneSource(i) % 20}.onion"
 
+  /** SSH host-key fingerprint — clones share their source's key (the
+    * infrastructure-reuse evidence the reference's maintenance scripts
+    * correlate with content clones). Alphabet is [A-Za-z0-9] only and the
+    * payload starts with 'g', so the fingerprint can never collide with
+    * the btc (`\b[13]...`), email or onion regexes.
+    */
+  def sshFpOf(i: Long): String = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    val src = cloneSource(i)
+    val sb = new StringBuilder("SHA256:g")
+    var h = Hashing.mix(src * 41 + 11)
+    var k = 0
+    while (k < 42) {
+      if (k % 10 == 0) h = Hashing.mix(h + k)
+      sb.append(alpha((Hashing.nonNeg(h >>> ((k % 10) * 6)) % alpha.length).toInt))
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Open ports — infrastructure facts, shared with the clone source. */
+  def portsOf(i: Long): Seq[Int] = {
+    val src = cloneSource(i)
+    Seq(22, 80) ++ (if (src % 3 == 0) Seq(443) else Nil) ++
+      (if (src % 4 == 1) Seq(8080) else Nil)
+  }
+
+  /** Subdomain-bomb host (F6 positive case): its p1 page links to
+    * `BombSubdomains` subdomains of its own base — more than the default
+    * `crapSubdomainLimit`, so the engine must mark the base crap and never
+    * schedule the subdomains.
+    */
+  val BombHost: Long = 4L
+  val BombSubdomains: Int = 25
+
   /** The spans of page p on host i — document order, offsets strictly
-    * increasing. Clone hosts copy the *content* of their source host
-    * (identical text spans ⇒ identical content sha1) but keep their own
-    * hrefs pointing within their own host.
+    * increasing. Clone hosts serve their source's HTML byte-identically
+    * (a mirror): every text span — including the link span's absolute
+    * hrefs, which point at the SOURCE host — derives from `cloneSource(i)`
+    * so the front-page content sha1 matches and clone detection fires.
+    * Relative links still resolve against the clone's own base URL, so
+    * the clone's own sub-pages stay discoverable. Media refs are not part
+    * of the content hash and keep the owning host.
     */
   def spansOf(i: Long, p: Int, nHosts: Long): Seq[Span] = {
     val src = cloneSource(i)
     val host = hostName(i)
+    val srcHost = hostName(src)
     val np = pagesPerHost(src)
     val b = Seq.newBuilder[Span]
     var off = 0
@@ -129,12 +169,12 @@ object SyntheticCorpus {
     else sb.append(s"""<a href="p$rel?b=2&a=1">rel</a> """)
     var s = 0
     while (s < 2) {
-      val t = crossTarget(i, p, nHosts, s)
+      val t = crossTarget(src, p, nHosts, s)
       sb.append(s"""<a href="http://${hostName(t)}/">x$s</a> """)
       s += 1
     }
     if (nxt != 0)
-      sb.append(s"""<a href="http://$host/p$nxt?a=1&b=2#frag">dup</a> """)
+      sb.append(s"""<a href="http://$srcHost/p$nxt?a=1&b=2#frag">dup</a> """)
     if (p == 0) sb.append(s"""<a href="/private/area">members</a> """)
     text(sb.toString)
 
@@ -144,6 +184,18 @@ object SyntheticCorpus {
     val mention = hostName(pick(Hashing.mix(src * 17 + p * 3), nHosts))
     text(s"find us also at $mention contact ${emailOf(i)} donate ${btcOf(src * 23 + p)} " +
       fillerText(Hashing.mix(src * 29 + p), 6))
+
+    // infrastructure facts on the front page: ssh host key + open ports
+    // (clone hosts share their source's — the A6 "matching SSH fp" rule)
+    if (p == 0)
+      text(s"ssh host key ${sshFpOf(i)} " +
+        portsOf(i).map(pt => s"port $pt/tcp open").mkString(" "))
+
+    // subdomain bomb (F6): one host's p1 links to > crapSubdomainLimit
+    // subdomains of its own base
+    if (i == BombHost && p == 1 && nHosts > BombHost)
+      text((0 until BombSubdomains)
+        .map(k => s"""<a href="http://sub$k.$host/">s$k</a>""").mkString(" "))
     b.result()
   }
 

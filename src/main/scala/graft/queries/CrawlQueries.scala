@@ -101,6 +101,14 @@ object CrawlQueries {
           sum("fetched").as("fetched"), sum("new_onions").as("new_onions"))
         .orderBy("round")),
 
+    // shared-SSH-key lookup: reused infrastructure corroborating clone
+    // flags (J7 + the A6 "matching SSH fp" rule)
+    "crawl11_ssh_lookup" -> ((s, _) => {
+      val st = store(s)
+      Lookups.sharedInfrastructure(st.read("ssh_fps"), st.read("domains"))
+        .orderBy("ssh_fp", "host")
+    }),
+
     // SQL entry point over registered snapshot views + JSON projection
     // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)
     "crawl10_sql_api" -> ((s, _) => {

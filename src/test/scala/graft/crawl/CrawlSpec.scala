@@ -120,12 +120,56 @@ class CrawlSpec extends AnyFunSuite {
     val groups = pages.filter(col("content_sha1").isNotNull)
       .groupBy("content_sha1").agg(countDistinct("host").as("n"))
       .filter(col("n") > 1).count()
-    if (groups > 0) {
-      assert(fakes.nonEmpty, "clone groups exist but nothing marked fake")
-      fakes.foreach { case (h, g) => assert(h != g && g.nonEmpty) }
-      val fakeSet = fakes.map(_._1).toSet
-      fakes.foreach { case (_, g) => assert(!fakeSet.contains(g), "genuine marked fake") }
+    // POSITIVE coverage: the fixture's mirror pair (8 cloning-source of 9)
+    // must form a real identical-content group by round 6
+    assert(groups > 0, "fixture clone pair never formed an identical-content group")
+    assert(fakes.nonEmpty, "clone groups exist but nothing marked fake")
+    fakes.foreach { case (h, g) => assert(h != g && g.nonEmpty) }
+    val fakeSet = fakes.map(_._1).toSet
+    fakes.foreach { case (_, g) => assert(!fakeSet.contains(g), "genuine marked fake") }
+  }
+
+  test("subdomain bomb (F6 positive case): base marked crap, subdomains never scheduled") {
+    val bombBase = SyntheticCorpus.hostName(SyntheticCorpus.BombHost)
+    val d = mainStore.read("domains").filter(col("host") === bombBase)
+      .select("is_crap").as[Boolean].collect()
+    assert(d.length == 1 && d(0), s"bomb base $bombBase not marked crap")
+    assert(mainStore.read("crawl_log")
+      .filter(col("host").endsWith("." + bombBase)).isEmpty,
+      "a bomb subdomain was scheduled")
+    assert(mainStore.read("frontier")
+      .filter(col("host").endsWith("." + bombBase)).isEmpty,
+      "a bomb subdomain is still enqueued")
+    // the base is retired: nothing scheduled for it after the bomb round
+    val bombRound = mainStore.read("crawl_log")
+      .filter(col("host") === bombBase && col("url").contains("/p1"))
+      .select("round").as[Int].collect()
+    if (bombRound.nonEmpty)
+      assert(mainStore.read("crawl_log")
+        .filter(col("host") === bombBase && col("round") > bombRound.max)
+        .isEmpty, "crap base scheduled again after the bomb round")
+  }
+
+  test("ssh host keys extracted; fakes share their genuine host's key (A6 tie-in)") {
+    val fps = mainStore.read("ssh_fps")
+    assert(fps.count() > 0, "no ssh fingerprints extracted")
+    val ports = mainStore.read("open_ports")
+    assert(ports.filter(col("value") === "22").count() > 0, "no port facts")
+    // every flagged fake must share a key with its genuine host — both
+    // front pages were necessarily fetched for the content grouping
+    val fakes = mainStore.read("domains").filter(col("is_fake"))
+      .select("host", "genuine_host").as[(String, String)].collect()
+    fakes.foreach { case (h, g) =>
+      val fh = fps.filter(col("host") === h).select("value").as[String].collect().toSet
+      val fg = fps.filter(col("host") === g).select("value").as[String].collect().toSet
+      assert((fh intersect fg).nonEmpty, s"fake $h shares no ssh key with genuine $g")
     }
+    // the shared-infrastructure lookup surfaces exactly multi-host keys
+    val shared = graft.analytics.Lookups
+      .sharedInfrastructure(fps, mainStore.read("domains")).collect()
+    shared.groupBy(_.getString(1)).foreach { case (_, rows) => assert(rows.nonEmpty) }
+    val perFp = shared.groupBy(_.getString(0))
+    perFp.values.foreach(g => assert(g.length >= 2, "singleton fp in shared lookup"))
   }
 
   test("recrawl tier fires after the interval (priority 1 entries in late rounds)") {
