@@ -84,8 +84,11 @@ final class CrawlLoop(
         corpusHosts = corpusHosts,
         robots = robots,
         hostDeaths = hostDeaths)
-      if (in.frontier.isEmpty) { corpusHosts.unpersist(); return executed }
-      val out = Round.run(in, cfg, r, seqBase, seenSet)
+      // count doubles as the termination check AND the round's Bloom size
+      // hint (the schedule is bounded by the frontier)
+      val frontierRows = in.frontier.count()
+      if (frontierRows == 0) { corpusHosts.unpersist(); return executed }
+      val out = Round.run(in, cfg, r, seqBase, seenSet, schedHint = frontierRows)
       // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
       // bloom-behind is not (see SeenSet scaladoc / crash-consistency)
       seenSet.update(out.seenDelta, r)

@@ -7,7 +7,6 @@ import graft.frontier.{Politeness, Robots}
 import graft.model._
 import graft.url.{EnqueueSeq, Urls}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Typed row shapes used inside a round. */
@@ -85,7 +84,10 @@ object Round {
       cfg: CrawlConfig,
       round: Int,
       seqBase: Long,
-      seenSet: SeenSet)(implicit spark: SparkSession): RoundOutputs = {
+      seenSet: SeenSet,
+      /** size hint for the round's URL Bloom (frontier row count is a
+        * safe upper bound); only affects prefilter FPP, never results. */
+      schedHint: Long = 1 << 16)(implicit spark: SparkSession): RoundOutputs = {
     import spark.implicits._
 
     // ---- 1. eligibility: drop retired (dead_in_a_row >= R) + crap hosts
@@ -104,19 +106,29 @@ object Round {
     val denied = gated.filter(!col("robots_allowed"))
     val allowed = gated.filter(col("robots_allowed"))
 
-    // ---- 3. politeness budget (two-phase skew-safe top-k per host)
-    val scheduled = Politeness.schedule(allowed, cfg).persist()
+    // ---- 3. politeness budget (two-phase skew-safe top-k per host),
+    // cached before the range exchange so its sampling pass and the
+    // shuffle read the window output once, then laid out as ordered
+    // ranges of the normative crawl order for the sequencer
+    val sched0 = Politeness.schedule(allowed, cfg).persist()
+    val logParts = spark.sessionState.conf.numShufflePartitions
+    val scheduled = sched0
+      .repartitionByRange(logParts, Politeness.Order: _*)
+      .sortWithinPartitions(Politeness.Order: _*)
+      .persist()
     val carryover = allowed
       .join(scheduled.select("url"), Seq("url"), "left_anti")
       .select(col("url"), col("host"), col("priority"), col("tier"), col("depth"),
         col("enqueue_seq"), col("discovered_from"), lit(round + 1).as("round"),
         col("retries"))
 
-    // ---- 4. golden crawl log: deterministic global sequence
-    val wLog = Window.orderBy(Politeness.Order: _*)
-    val crawlLogDelta = scheduled
-      .withColumn("seq", row_number().over(wLog).cast("long") + lit(seqBase))
-      .select(col("seq"), lit(round).as("round"), col("url"), col("host"), col("priority"))
+    // ---- 4. ONE stats job (per-range counts + total + URL Bloom), then
+    // the golden crawl log as a zero-shuffle per-partition sequence —
+    // replaces the single-task `row_number() OVER (ORDER BY ...)` plus
+    // separate count() and stat.bloomFilter() jobs of the naive shape
+    val st = GoldenSeq.stats(scheduled, math.max(1024L, schedHint))
+    val scheduledCnt = st.total
+    val crawlLogDelta = GoldenSeq.assign(scheduled, st, round, seqBase)
 
     // ---- 5. corpus fetch join (S3/J3). Outcome model mirrors HTTP:
     //   doc found on a live host          -> 200, parse
@@ -126,12 +138,11 @@ object Round {
     //
     // The corpus side is FAT (spans). A plain join shuffles+sorts every
     // document every round; instead a ~1MB Bloom over this round's
-    // scheduled URLs prefilters the corpus map-side, so only
-    // actually-fetched docs (+ FP noise) reach the shuffle. Exactness is
-    // unaffected: the equi-join discards Bloom false positives.
-    val scheduledCnt = scheduled.count()
-    val urlBloom = spark.sparkContext.broadcast(
-      scheduled.stat.bloomFilter("url", math.max(1L, scheduledCnt), 0.01))
+    // scheduled URLs (already built by the stats job) prefilters the
+    // corpus map-side, so only actually-fetched docs (+ FP noise) reach
+    // the shuffle. Exactness is unaffected: the equi-join discards Bloom
+    // false positives.
+    val urlBloom = spark.sparkContext.broadcast(st.urlBloom)
     val mightFetch = udf((u: String) => u != null && urlBloom.value.mightContainString(u))
     val corpusPruned = in.corpus.filter(mightFetch(col("doc_id")))
     val joined = scheduled
@@ -387,8 +398,8 @@ object Round {
       crawlLogDelta = crawlLogDelta,
       metricsDelta = metricsDelta,
       scheduledCount = scheduledCnt,
-      cached = Seq(gated, scheduled, joined, parsed.toDF(), misses, bestPerFp,
-        fresh0, fresh, missHostsD, newHostRows, frontierNext))
+      cached = Seq(gated, sched0, scheduled, joined, parsed.toDF(), misses,
+        bestPerFp, fresh0, fresh, missHostsD, newHostRows, frontierNext))
   }
 
   /** is_crap via subdomain-bomb bases: membership test against the (tiny)
