@@ -43,11 +43,48 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every action eagerly renders a plan-description string for the
+      // SQL listener event (even with the UI off), and AQE re-renders it
+      // per stage update — on the crawl's large per-round DAGs this was
+      // measured as 100%-CPU driver time in generateTreeString while
+      // executors idled. Cap the string and use the cheap mode.
+      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // GRAFT_TIMING: per-job wall times + call sites (profiling the
+    // driver-side job budget — SURVEY §9 scaling analysis)
+    if (sys.env.contains("GRAFT_TIMING")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val site = Option(j.properties.getProperty("callSite.short")).getOrElse("?")
+          val tasks = j.stageInfos.map(_.numTasks).sum
+          starts.put(j.jobId, (System.nanoTime(), s"tasks=$tasks $site"))
+        }
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, info) =>
+            println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.2fs  $info")
+          }
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = s.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          if (wall > 2.0) {
+            val run = si.taskMetrics.executorRunTime / 1e3
+            val cpu = si.taskMetrics.executorCpuTime / 1e9
+            println(f"[stage] ${si.stageId}%4d wall=$wall%6.1fs tasks=${si.numTasks}%4d " +
+              f"runSum=$run%7.1fs cpuSum=$cpu%7.1fs par=${run / math.max(wall, 0.01)}%4.1f  ${si.name.take(60)}")
+          }
+        }
+      })
+    }
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -2,7 +2,6 @@ package graft.crawl
 
 import graft.functions.SketchExpressions
 import graft.model.CrawlLogEntry
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -34,6 +33,21 @@ final case class SchedStats(counts: Map[Int, Long], total: Long, urlBloom: Bloom
   */
 object GoldenSeq {
 
+  /** Lay the schedule out as ordered ranges of the normative crawl order
+    * and STORE each row's range-partition id in the cache. The id column
+    * must be baked into the cached data (evaluated once, at cache
+    * materialization): task-level ids (`TaskContext`/`spark_partition_id`
+    * evaluated above the cache) are renumbered when the plan runs inside
+    * a union — e.g. the combined append write — and would disagree with
+    * the offsets `stats` computed.
+    */
+  def layout(schedule: DataFrame, numPartitions: Int): DataFrame =
+    schedule
+      .repartitionByRange(numPartitions, graft.frontier.Politeness.Order: _*)
+      .sortWithinPartitions(graft.frontier.Politeness.Order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+
   /** ONE job over the cached range-partitioned schedule computing all
     * per-round driver facts that previously cost three: per-partition
     * counts (offsets), the total (`scheduledCount`, seqBase advance), and
@@ -44,7 +58,7 @@ object GoldenSeq {
     */
   def stats(scheduled: DataFrame, bloomItems: Long, bloomFpp: Double = 0.01): SchedStats = {
     val rows = scheduled
-      .groupBy(spark_partition_id().as("_pid"))
+      .groupBy(col("_pid"))
       .agg(count(lit(1L)).as("cnt"),
         SketchExpressions.bloom_agg(col("url"), bloomItems, bloomFpp).as("bf"))
       .collect()
@@ -57,10 +71,11 @@ object GoldenSeq {
   }
 
   /** Dense sequence assignment over the SAME cache `stats` ran on: a
-    * zero-shuffle per-partition scan — partition ids and in-partition
+    * zero-shuffle per-partition scan — the stored `_pid` and in-partition
     * order are pinned by the cache, offsets close the gaps between
-    * ranges. (A `Window PARTITION BY pid` would re-shuffle every row by
-    * pid for the same result.)
+    * ranges. (A `Window PARTITION BY _pid` would re-shuffle every row by
+    * pid for the same result.) Every row in one cache partition carries
+    * the same `_pid`, so the head row keys the offset lookup.
     */
   def assign(scheduled: DataFrame, st: SchedStats, round: Int, seqBase: Long)(
       implicit spark: SparkSession): DataFrame = {
@@ -71,12 +86,16 @@ object GoldenSeq {
         val entry = pid -> acc; acc += n; entry
       }.toMap
     }
-    scheduled.select(col("url"), col("host"), col("priority"))
-      .as[(String, String, Int)]
+    scheduled.select(col("url"), col("host"), col("priority"), col("_pid"))
+      .as[(String, String, Int, Int)]
       .mapPartitions { it =>
         // offsets is a ≤ #partitions-sized map, serialized with the task
-        var seq = offsets.getOrElse(TaskContext.getPartitionId(), 0L)
-        it.map { case (u, h, p) => seq += 1; CrawlLogEntry(seq, round, u, h, p) }
+        if (!it.hasNext) Iterator.empty
+        else {
+          val buf = it.buffered
+          var seq = offsets.getOrElse(buf.head._4, 0L)
+          buf.map { case (u, h, p, _) => seq += 1; CrawlLogEntry(seq, round, u, h, p) }
+        }
       }
       .toDF()
   }

@@ -4,7 +4,7 @@ import graft.dedup.SeenSet
 import graft.model._
 import graft.store.SnapshotStore
 import graft.url.{EnqueueSeq, Urls}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative batch crawl driver (SURVEY.md §3.9 T1): each round is one
@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   * re-reads the committed state (Parquet-backed ⇒ short plans, no
   * iterative lineage blow-up), so a run is resumable from ANY snapshot —
   * straight-through and stop+resume produce byte-identical tables.
+  *
+  * Per-round Spark-job budget (the driver is the serial cost between
+  * small stages — round 1 measured it capping 8→32-core scaling):
+  *   1. frontier row count   (termination check + Bloom size hint)
+  *   2. schedule stats       (per-range counts + total + URL Bloom)
+  *   3. frontier overwrite   (materializes the round's cached DAG;
+  *                            observed metric: next round's row count)
+  *   4. domains overwrite
+  *   5. combined append      (ALL deltas, one tagged partitioned write;
+  *                            observed metrics: seen-delta count + Bloom)
+  * The seen-set Bloom and its sidecar checkpoint, next round's frontier
+  * count and the golden-sequence bookkeeping all ride on those jobs as
+  * observed metrics instead of dedicated actions.
   */
 final class CrawlLoop(
     val store: SnapshotStore,
@@ -19,9 +32,15 @@ final class CrawlLoop(
 
   import spark.implicits._
 
-  private val Overwrite = Seq("frontier", "domains")
-  private val Appends = Seq("seen", "pages", "links", "emails", "btc_addresses",
-    "ssh_fps", "open_ports", "crawl_log", "metrics")
+  private val timing = sys.env.contains("GRAFT_TIMING")
+  private def timed[A](r: Int, label: String)(f: => A): A =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val res = f
+      println(f"[timing] snap=$r%d phase $label%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      res
+    }
 
   /** Snapshot 0: seed frontier + seed-seen (Scrapy marks seen at ENQUEUE
     * time — SURVEY.md §6.5) + empty entity tables.
@@ -50,8 +69,29 @@ final class CrawlLoop(
         "metrics" -> spark.emptyDataset[MetricsRow].toDF()))
   }
 
-  /** Run `rounds` more rounds from the latest committed snapshot. */
+  /** Run `rounds` more rounds from the latest committed snapshot.
+    *
+    * AQE is disabled for the crawl's duration (restored after): the
+    * loop's partitioning is fully static — fixed shuffle partitions,
+    * explicit range partitioning for the golden sequence, planner-chosen
+    * broadcasts — so adaptive re-optimization buys nothing, while its
+    * per-stage re-planning and plan-description re-rendering scale with
+    * the round DAG's (large, cache-nested) plan size. Measured on the
+    * 200k-host bench: 3,573 → 11,087 URLs/s from this switch alone,
+    * with byte-identical outputs.
+    */
   def run(
+      corpus: DataFrame,
+      robots: Dataset[RobotsRule],
+      hostDeaths: DataFrame,
+      rounds: Int): Int = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runInner(corpus, robots, hostDeaths, rounds)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def runInner(
       corpus: DataFrame,
       robots: Dataset[RobotsRule],
       hostDeaths: DataFrame,
@@ -59,13 +99,16 @@ final class CrawlLoop(
     val startSnap = store.latestSnapshot.getOrElse(
       throw new IllegalStateException("call init() first"))
     val seenSet = new SeenSet(cfg, store.rootDir, store.latestSnapshot)
-    // corpus is immutable: derive the live-host set once, reuse all rounds
+    // once per RUN: the robots gate (collect/aggregate the rule set) and
+    // the corpus live-host set (corpus is immutable) — not once per round
+    val gate = graft.frontier.Robots.prepare(robots, cfg)
     val hostUdf = udf((u: String) => Urls.hostOf(u))
     val corpusHosts = corpus.select(hostUdf(col("doc_id")).as("host"))
       .distinct().persist()
-    // no checkpointed filter (fresh run or lost sidecar): rebuild from the
-    // authoritative seen table — an empty Bloom over non-empty seen would
-    // wrongly bypass the exact anti-join for every rediscovered URL
+    // no checkpointed filter (fresh run or lost/stale sidecar): rebuild
+    // from the authoritative seen table — an empty Bloom over non-empty
+    // seen would wrongly bypass the exact anti-join for every
+    // rediscovered URL
     if (!seenSet.loadedFromCheckpoint) seenSet.rebuildFrom(store.read("seen"))
 
     var r = startSnap
@@ -73,6 +116,8 @@ final class CrawlLoop(
     // golden-seq base: counted once on resume, then tracked incrementally
     // (a full crawl_log count per round would rescan the whole log)
     var seqBase = store.read("crawl_log").count()
+    // carried from the frontier write's observed metric after round 1
+    var frontierRowsNext: Option[Long] = None
     while (executed < rounds) {
       r += 1
       val in = RoundInputs(
@@ -82,19 +127,23 @@ final class CrawlLoop(
         pages = store.read("pages"),
         corpus = corpus,
         corpusHosts = corpusHosts,
-        robots = robots,
+        robots = gate,
         hostDeaths = hostDeaths)
-      // count doubles as the termination check AND the round's Bloom size
-      // hint (the schedule is bounded by the frontier)
-      val frontierRows = in.frontier.count()
+      // the count doubles as termination check and URL-Bloom size hint
+      val frontierRows = timed(r, "frontier_count") {
+        frontierRowsNext.getOrElse(in.frontier.count())
+      }
       if (frontierRows == 0) { corpusHosts.unpersist(); return executed }
-      val out = Round.run(in, cfg, r, seqBase, seenSet, schedHint = frontierRows)
-      // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
-      // bloom-behind is not (see SeenSet scaladoc / crash-consistency)
-      seenSet.update(out.seenDelta, r)
-      store.commit(r,
+      val out = timed(r, "round_plan+stats") {
+        Round.run(in, cfg, r, seqBase, seenSet, schedHint = frontierRows)
+      }
+
+      val frontierObs = Observation(s"frontier-r$r")
+      val seenObs = Observation(s"seen-r$r")
+      val entries = store.writeData(r,
         overwrite = Map(
-          "frontier" -> out.frontierNext,
+          "frontier" -> out.frontierNext.observe(frontierObs,
+            count(lit(1L)).as("rows")),
           "domains" -> out.domains),
         append = Map(
           "seen" -> out.seenDelta,
@@ -105,10 +154,31 @@ final class CrawlLoop(
           "ssh_fps" -> out.sshFpsDelta,
           "open_ports" -> out.portsDelta,
           "crawl_log" -> out.crawlLogDelta,
-          "metrics" -> out.metricsDelta))
+          "metrics" -> out.metricsDelta),
+        // observed count skips the empty-delta probe of the Bloom update
+        observeAppends = Some((seenObs, Seq(
+          count(when(col("_t") === "seen", 1L)).as("cnt")))))
+      // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
+      // bloom-behind is not (see SeenSet crash-consistency scaladoc).
+      // The delta Bloom is ONE cheap job over the cached delta (see
+      // SeenSet.update for why it must not ride the write as a metric).
+      timed(r, "seen_bloom") {
+        seenSet.update(out.seenDelta, r,
+          knownCount = seenObs.get("cnt").asInstanceOf[Long])
+      }
+      store.commitManifest(r, entries)
+
       seqBase += out.scheduledCount
-      if (r % cfg.compactEveryRounds == 0)
+      frontierRowsNext = Some(frontierObs.get("rows").asInstanceOf[Long])
+      if (r % cfg.compactEveryRounds == 0) {
         store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets)
+        // retention delete: expire page observations past their TTL on
+        // the same cadence (the FTS index derives from pages, so the
+        // expiry propagates to search at the next index build)
+        if (cfg.pageTtlRounds != Int.MaxValue)
+          store.compact(r, "pages", Seq("host", "url"), buckets = cfg.saltBuckets,
+            retain = Some(col("visited_round") > r - cfg.pageTtlRounds))
+      }
       out.cached.foreach(_.unpersist())
       executed += 1
     }

@@ -3,7 +3,7 @@ package graft.crawl
 import graft.analytics.Clones
 import graft.dedup.SeenSet
 import graft.extract.{ExtractedLink, SpanExtract}
-import graft.frontier.{Politeness, Robots}
+import graft.frontier.{Politeness, RobotsGate}
 import graft.model._
 import graft.url.{EnqueueSeq, Urls}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -31,7 +31,9 @@ final case class RoundInputs(
       * 404 (live host, absent doc) from a connection failure (dead host).
       */
     corpusHosts: DataFrame,
-    robots: Dataset[RobotsRule],
+    /** prepared ONCE per run by the loop (one collect/aggregation for the
+      * whole crawl, not one per round). */
+    robots: RobotsGate,
     hostDeaths: DataFrame)
 
 final case class RoundOutputs(
@@ -100,9 +102,9 @@ object Round {
 
     // ---- 2. robots gate: denied rows are consumed (logged), never fetched.
     // Cached: re-used by the carry-over anti-join, next-frontier build and
-    // per-partition metrics — without the cache each of the 9 table writes
-    // that reach it re-runs the eligibility joins + robots UDF.
-    val gated = Robots.gate(eligible, in.robots, cfg).persist()
+    // per-partition metrics — without the cache every sink that reaches it
+    // re-runs the eligibility joins + gate resolution.
+    val gated = in.robots(eligible).persist()
     val denied = gated.filter(!col("robots_allowed"))
     val allowed = gated.filter(col("robots_allowed"))
 
@@ -111,11 +113,8 @@ object Round {
     // shuffle read the window output once, then laid out as ordered
     // ranges of the normative crawl order for the sequencer
     val sched0 = Politeness.schedule(allowed, cfg).persist()
-    val logParts = spark.sessionState.conf.numShufflePartitions
-    val scheduled = sched0
-      .repartitionByRange(logParts, Politeness.Order: _*)
-      .sortWithinPartitions(Politeness.Order: _*)
-      .persist()
+    val scheduled =
+      GoldenSeq.layout(sched0, spark.sessionState.conf.numShufflePartitions)
     val carryover = allowed
       .join(scheduled.select("url"), Seq("url"), "left_anti")
       .select(col("url"), col("host"), col("priority"), col("tier"), col("depth"),
@@ -238,13 +237,17 @@ object Round {
     // crap detection (with a collect), seen delta, frontier and metrics
     val fresh0 = seenSet.filterNew(bestPerFp, in.seen).persist()
 
-    // subdomain-spam (is_crap) detection on the fresh candidate hosts
+    // subdomain-spam (is_crap) detection on the fresh candidate hosts —
+    // the (tiny) bomb-base set stays distributed: a broadcast anti-join
+    // here and a broadcast left join in the domains merge, NO driver
+    // collect (the collect was a dedicated per-round job)
     val baseExpr = regexp_extract(col("host"), "([a-z2-7]{16}|[a-z2-7]{56})\\.onion$", 0)
     val crapBases = fresh0
       .groupBy(baseExpr.as("base"))
       .agg(countDistinct(col("host")).as("n_sub"))
-      .filter(col("n_sub") > cfg.crapSubdomainLimit)
+      .filter(col("n_sub") > cfg.crapSubdomainLimit && col("base") =!= "")
       .select(col("base"))
+      .persist()
     val fresh = fresh0
       .withColumn("base", baseExpr)
       .join(broadcast(crapBases), Seq("base"), "left_anti")
@@ -322,6 +325,10 @@ object Round {
     val mergedBase = in.domains
       .join(obs, Seq("host"), "full_outer")
       .join(newHostRows.withColumn("is_new_host", lit(true)), Seq("host"), "left")
+      .withColumn("base", baseExpr)
+      .join(broadcast(crapBases.withColumn("is_bomb_base", lit(true))),
+        Seq("base"), "left")
+      .drop("base")
       .select(
         col("host"),
         coalesce(col("first_seen_round"),
@@ -339,7 +346,7 @@ object Round {
         coalesce(col("server"), lit("")).as("server"),
         coalesce(col("powered_by"), lit("")).as("powered_by"),
         (coalesce(col("is_crap"), lit(false)) ||
-          crapBaseMatch(col("host"), crapBases, spark)).as("is_crap"),
+          coalesce(col("is_bomb_base"), lit(false))).as("is_crap"),
         lit(false).as("is_fake"),
         lit("").as("genuine_host"),
         (coalesce(col("pages_crawled"), lit(0)) +
@@ -399,23 +406,7 @@ object Round {
       metricsDelta = metricsDelta,
       scheduledCount = scheduledCnt,
       cached = Seq(gated, sched0, scheduled, joined, parsed.toDF(), misses,
-        bestPerFp, fresh0, fresh, missHostsD, newHostRows, frontierNext))
-  }
-
-  /** is_crap via subdomain-bomb bases: membership test against the (tiny)
-    * crap-base set, kept as a broadcast semi-join helper expression.
-    */
-  private def crapBaseMatch(
-      host: org.apache.spark.sql.Column,
-      crapBases: DataFrame,
-      spark: SparkSession): org.apache.spark.sql.Column = {
-    val bases = crapBases.collect().map(_.getString(0)).filter(_.nonEmpty)
-    if (bases.isEmpty) lit(false)
-    else {
-      val bc = spark.sparkContext.broadcast(bases.toSet)
-      val m = udf((h: String) =>
-        bc.value.exists(b => h == b || h.endsWith("." + b)))
-      m(host)
-    }
+        bestPerFp, fresh0, crapBases, fresh, missHostsD, newHostRows,
+        frontierNext))
   }
 }

@@ -38,13 +38,12 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
   private val bloomPath: Path = Paths.get(stateDir, "seen.bloom")
 
   // identical (expectedItems, numBits) sizing everywhere (persistent
-  // filter, per-round delta, rebuild) — sketch mergeInPlace requires the
-  // exact same bit width and hash count. Formula mirrors
-  // BloomFilter.optimalNumOfBits(n, p).
-  private[dedup] val numBits: Long = math.max(
-    64L,
-    (-cfg.bloomExpectedItems * math.log(cfg.bloomFpp) /
-      (math.log(2) * math.log(2))).toLong)
+  // filter, per-round delta — whether via stat.bloomFilter or the
+  // observed bloom_filter_agg — and rebuild): sketch mergeInPlace
+  // requires the exact same bit width and hash count.
+  private[dedup] val numBits: Long =
+    graft.functions.SketchExpressions.optimalNumOfBits(
+      cfg.bloomExpectedItems, cfg.bloomFpp)
 
   private var bloom: BloomFilter = null
 
@@ -83,22 +82,25 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
   /** Merge a round's new fingerprints into the persistent filter and
     * checkpoint it tagged with `snap` (atomic rename). MUST be called
     * before the store commits snapshot `snap` — see class scaladoc.
+    *
+    * ONE two-stage aggregation job over the (cached) delta: partial
+    * filters travel through the shuffle to a single final merge, so the
+    * driver receives exactly one serialized filter. (Observing the
+    * aggregate on the append write instead would ship one multi-MB
+    * partial PER WRITE TASK as task results — measured >1 GB per round
+    * at bench scale, over spark.driver.maxResultSize.) Callers that
+    * already know the delta row count (observed metric) pass it to skip
+    * the empty-delta probe job.
     */
-  def update(seenDelta: DataFrame, snap: Int): Unit = {
-    // empty delta: BloomFilterAggregate yields null (NPE in readFrom)
-    if (seenDelta.isEmpty) return
-    val delta = seenDelta.stat.bloomFilter(
-      "fingerprint", cfg.bloomExpectedItems, numBits)
-    mergeBloom(delta, snap)
-  }
-
-  /** Same as [[update]] but from already-serialized bloom bytes (e.g. a
-    * `bloom_filter_agg` observed on the seen-delta branch of the combined
-    * append write — zero extra jobs). `bytes` may be null (empty delta).
-    */
-  def updateFromBytes(bytes: Array[Byte], snap: Int): Unit = {
-    if (bytes == null) return
-    mergeBloom(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)), snap)
+  def update(seenDelta: DataFrame, snap: Int, knownCount: Long = -1L): Unit = {
+    if (knownCount == 0L || (knownCount < 0L && seenDelta.isEmpty)) return
+    val bytes = seenDelta
+      .coalesce(8) // bounds partial-filter count; narrow on the cache
+      .select(graft.functions.SketchExpressions.bloom_agg(
+        col("fingerprint"), cfg.bloomExpectedItems, cfg.bloomFpp).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (bytes != null)
+      mergeBloom(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)), snap)
   }
 
   private def mergeBloom(delta: BloomFilter, snap: Int): Unit = {

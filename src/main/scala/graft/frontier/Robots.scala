@@ -7,50 +7,113 @@ import org.apache.spark.sql.functions._
 
 /** robots.txt gate (SURVEY.md §3.2 F8 / §3.3 J4).
   *
-  * Longest-prefix-wins allow/deny + per-host crawl_delay. The rule set is
-  * O(#hosts × few rules) — the reference held it as in-memory per-host
-  * parsers (`RobotsTxtMiddleware`), so the scale-correct Spark shape is a
-  * BROADCAST map resolved on the map side: zero shuffle, stays inside the
-  * scan's codegen stage. (A window/group alternative would shuffle the
-  * whole frontier by url — wrong at 10^10 rows.)
+  * Longest-prefix-wins allow/deny + per-host crawl_delay, resolved on the
+  * MAP SIDE in both execution paths — the frontier is never shuffled by
+  * the gate (a window/group formulation would shuffle 10^10 rows by url):
+  *
+  *   - small rule sets (the common case — the reference held per-host
+  *     parsers in crawler memory): ONE driver collect per RUN (not per
+  *     round) into a broadcast map probed by a UDF.
+  *   - large rule sets (beyond what a driver map should hold): rules are
+  *     pre-aggregated to one row per host (sorted prefix array), then
+  *     BROADCAST-joined to the frontier; the longest matching prefix is
+  *     picked with array higher-order functions — still zero frontier
+  *     shuffle, no driver materialization of the rule set.
+  *
+  * The path is picked once per run by rule count (`prepare`); both are
+  * semantically identical (RobotsSpec asserts row equality and plans).
   */
-object Robots {
+sealed trait RobotsGate extends Serializable {
+  /** Adds `robots_allowed` + `crawl_delay` columns. */
+  def apply(frontier: DataFrame): DataFrame
+}
 
-  /** (allow, crawl_delay) resolved per (host, path); absent host ⇒
-    * allow-all with the default delay.
-    */
-  def gate(
-      frontier: DataFrame,
-      rules: Dataset[RobotsRule],
-      cfg: CrawlConfig)(implicit spark: SparkSession): DataFrame = {
-    // host -> rules sorted by descending prefix length (longest wins)
-    val byHost: Map[String, Array[(String, Boolean, Double)]] =
-      rules.collect()
-        .groupBy(_.host)
-        .map { case (h, rs) =>
-          h -> rs.map(r => (r.path_prefix, r.allow, r.crawl_delay))
-            .sortBy(-_._1.length)
-        }
-    val bc = spark.sparkContext.broadcast(byHost)
-    val defaultDelay = cfg.defaultCrawlDelaySec
-
+/** Small-rule-set path: broadcast map + UDF (map-side, no shuffle). */
+final case class BroadcastMapGate(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[(String, Boolean, Double)]]],
+    defaultDelay: Double) extends RobotsGate {
+  def apply(frontier: DataFrame): DataFrame = {
+    val rules = bc // local so the UDF closure captures only the broadcast
+    val dd = defaultDelay
     val gateUdf = udf { (host: String, url: String) =>
       val path = Urls.pathOf(url)
-      bc.value.get(host) match {
-        case None => (true, defaultDelay)
+      rules.value.get(host) match {
+        case None => (true, dd)
         case Some(rs) =>
           rs.find { case (prefix, _, _) => path.startsWith(prefix) } match {
-            case Some((_, allow, delay)) =>
-              (allow, if (delay > 0) delay else defaultDelay)
-            case None => (true, defaultDelay)
+            case Some((_, allow, delay)) => (allow, if (delay > 0) delay else dd)
+            case None                    => (true, dd)
           }
       }
     }
-
     frontier
       .withColumn("_gate", gateUdf(col("host"), col("url")))
       .withColumn("robots_allowed", col("_gate._1"))
       .withColumn("crawl_delay", col("_gate._2"))
       .drop("_gate")
+  }
+}
+
+/** Large-rule-set path: per-host sorted rule arrays broadcast-joined;
+  * longest matching prefix via array higher-order functions (map-side,
+  * no frontier shuffle, no driver materialization).
+  */
+final case class JoinGate(perHost: DataFrame, defaultDelay: Double) extends RobotsGate {
+  def apply(frontier: DataFrame): DataFrame = {
+    val path = graft.functions.UrlExpressions.url_path(col("url"))
+    val hit = element_at(
+      filter(col("_rules"), r => path.startsWith(r.getField("prefix"))), 1)
+    frontier
+      .join(broadcast(perHost), Seq("host"), "left")
+      .withColumn("robots_allowed", coalesce(hit.getField("allow"), lit(true)))
+      .withColumn("crawl_delay",
+        when(hit.getField("delay") > 0, hit.getField("delay"))
+          .otherwise(lit(defaultDelay)))
+      .drop("_rules")
+  }
+}
+
+object Robots {
+
+  /** Resolve the gate ONCE per run. `maxBroadcastRules` bounds the
+    * driver-collected path; above it the join path engages.
+    */
+  def prepare(
+      rules: Dataset[RobotsRule],
+      cfg: CrawlConfig,
+      maxBroadcastRules: Long = 1L << 20)(implicit spark: SparkSession): RobotsGate =
+    if (rules.count() <= maxBroadcastRules) prepareBroadcastMap(rules, cfg)
+    else prepareJoin(rules, cfg)
+
+  /** Small path: host -> rules sorted by (prefix length desc, prefix asc). */
+  def prepareBroadcastMap(
+      rules: Dataset[RobotsRule],
+      cfg: CrawlConfig)(implicit spark: SparkSession): RobotsGate = {
+    val byHost: Map[String, Array[(String, Boolean, Double)]] =
+      rules.collect()
+        .groupBy(_.host)
+        .map { case (h, rs) =>
+          h -> rs.map(r => (r.path_prefix, r.allow, r.crawl_delay))
+            .sortBy { case (p, _, _) => (-p.length, p) }
+        }
+    BroadcastMapGate(spark.sparkContext.broadcast(byHost), cfg.defaultCrawlDelaySec)
+  }
+
+  /** Scale path: per-host sorted rule arrays (len desc), no collect; the
+    * per-host aggregate materializes inside the first consuming job and
+    * is cached for the whole run.
+    */
+  def prepareJoin(
+      rules: Dataset[RobotsRule],
+      cfg: CrawlConfig)(implicit spark: SparkSession): RobotsGate = {
+    val perHost = rules.toDF()
+      .groupBy(col("host"))
+      .agg(reverse(array_sort(collect_list(struct(
+        length(col("path_prefix")).as("len"),
+        col("path_prefix").as("prefix"),
+        col("allow").as("allow"),
+        col("crawl_delay").as("delay"))))).as("_rules"))
+      .persist()
+    JoinGate(perHost, cfg.defaultCrawlDelaySec)
   }
 }

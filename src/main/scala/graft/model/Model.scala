@@ -100,7 +100,10 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.03,
     crapSubdomainLimit: Int = 20,
     compactEveryRounds: Int = 4,
-    maxUrlRetries: Int = 2) {
+    maxUrlRetries: Int = 2,
+    /** retention: page rows older than this many rounds are dropped at
+      * compaction (Int.MaxValue = keep forever). */
+    pageTtlRounds: Int = Int.MaxValue) {
 
   /** budget(host) = max(1, floor(roundWindow / crawlDelay(host))). */
   def budget(crawlDelay: Double): Int = {

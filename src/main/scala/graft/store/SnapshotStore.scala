@@ -1,8 +1,8 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped snapshot layer over Parquet + JSON manifests
   * (SURVEY.md §9.4 — `/opt/spark/jars` ships no Iceberg runtime, so this
@@ -13,12 +13,26 @@ import scala.jdk.CollectionConverters._
   *     JSON listing every table's data directories is moved into place
   *     with an atomic rename; `_latest` is flipped last. A crashed commit
   *     leaves the previous snapshot intact (readers never see partials).
+  *     `writeData` / `commitManifest` are exposed separately so callers
+  *     can persist auxiliary state (the seen-set Bloom sidecar) after all
+  *     data lands but before the snapshot becomes visible.
   *   - time travel: `readAt(table, snapshot)` reads the manifest of any
   *     retained snapshot.
   *   - append tables accumulate per-snapshot delta directories (like
   *     Iceberg appends adding data files); `compact` rewrites a table's
   *     deltas into one sorted directory and commits a manifest pointing
   *     at it (like a bin-pack rewrite + snapshot expiry).
+  *
+  * ALL of a snapshot's append deltas are written by ONE Spark job: the
+  * deltas are tagged, unioned (missing columns null-padded) and written
+  * `partitionBy("_t")`, so the manifest entry for table t is
+  * `combined/delta-XXXX/_t=t`. The driver plans/compiles/commits one
+  * write instead of one per table — between small per-round stages the
+  * driver, not the executors, is the bottleneck (measured: the per-round
+  * fixed cost capped 8→32-core scaling at 0.27 efficiency in round 1).
+  * Each table's exact schema is recorded in the manifest (`_schema:` keys)
+  * and re-imposed on read, so empty deltas, the null-padded superset
+  * files and plain per-table directories all read back identically.
   *
   * With a real Iceberg runtime, `commit` becomes `MERGE INTO`/append on
   * `spark.table("cat.db.t")` and the manifest handling disappears.
@@ -30,33 +44,40 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
 
   private def manifestPath(snap: Int): Path = root.resolve(f"_snap-$snap%06d.json")
   private def latestPath: Path = root.resolve("_latest")
+  private val SchemaKey = "_schema:"
 
   def latestSnapshot: Option[Int] =
     if (Files.exists(latestPath)) Some(Files.readString(latestPath).trim.toInt) else None
 
-  /** table -> list of data dirs (relative to root). */
-  private def readManifest(snap: Int): Map[String, Seq[String]] = {
-    val txt = Files.readString(manifestPath(snap))
-    parseManifest(txt)
-  }
+  /** table -> list of data dirs (relative to root) + _schema: entries. */
+  private def readManifest(snap: Int): Map[String, Seq[String]] =
+    parseManifest(Files.readString(manifestPath(snap)))
 
-  /** Commit snapshot `snap`: `overwrite` tables get a fresh dir replacing
-    * prior ones; `append` tables add a delta dir to the prior list.
-    * DataFrames are written (action) before any manifest metadata moves.
+  /** Write snapshot `snap`'s data files: `overwrite` tables get a fresh
+    * dir replacing prior ones; `append` tables are tagged + unioned into
+    * ONE combined write. Returns the manifest entries for
+    * [[commitManifest]]. `observeAppends` metrics are attached to the
+    * combined union (rows carry `_t`; guard aggregates with
+    * `when(col("_t") === <table>, ...)`).
     */
-  def commit(
+  def writeData(
       snap: Int,
       overwrite: Map[String, DataFrame],
-      append: Map[String, DataFrame]): Unit = {
+      append: Map[String, DataFrame],
+      observeAppends: Option[(Observation, Seq[Column])] = None)
+      : Map[String, Seq[String]] = {
     val prev: Map[String, Seq[String]] =
       latestSnapshot.map(readManifest).getOrElse(Map.empty)
 
     val timing = sys.env.contains("GRAFT_TIMING")
-    def timedWrite(t: String, rel: String, df: DataFrame): Unit = {
+    def timedWrite(t: String, rel: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(root.resolve(rel).toString)
       if (timing) println(f"[timing] snap=$snap%d write $t%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
     }
+
     val entries = scala.collection.mutable.Map[String, Seq[String]](prev.toSeq: _*)
     // overwrite tables first, sequentially: they sit atop the round's
     // cached intermediates and materialize them once for everyone
@@ -64,68 +85,30 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       val rel = f"$t/snap-$snap%06d"
       timedWrite(t, rel, df)
       entries(t) = Seq(rel)
+      entries(SchemaKey + t) = Seq(df.schema.toDDL)
     }
-    // append deltas are independent sinks over already-materialized
-    // caches: submit them CONCURRENTLY so driver-side planning/codegen of
-    // one write overlaps executor work of another (the driver is the
-    // bottleneck between small stages, not the executors)
-    // Sequential by default: measured on the 32-core sandbox, concurrent
-    // delta writes oversubscribe the executor threads (8 jobs x 32-task
-    // stages) and cost ~55% throughput at local[32]; they only help when
-    // cores far exceed per-job parallelism. Opt in with GRAFT_PAR_COMMIT.
-    if (!sys.env.contains("GRAFT_PAR_COMMIT")) {
+    if (append.nonEmpty) {
+      val rel = f"combined/delta-$snap%06d"
+      val union = append.toSeq.sortBy(_._1)
+        .map { case (t, df) =>
+          df.withColumn("_t", org.apache.spark.sql.functions.lit(t))
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val observed = observeAppends match {
+        case Some((obs, cols)) => union.observe(obs, cols.head, cols.tail: _*)
+        case None              => union
+      }
+      timedWrite("appends(all)", rel, observed, partitionBy = Seq("_t"))
       append.foreach { case (t, df) =>
-        val rel = f"$t/delta-$snap%06d"
-        timedWrite(t, rel, df)
-        entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
+        entries(t) = entries.getOrElse(t, Seq.empty) :+ s"$rel/_t=$t"
+        entries(SchemaKey + t) = Seq(df.schema.toDDL)
       }
-    } else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = SnapshotStore.commitPool
-      val futures = append.toSeq.map { case (t, df) =>
-        val rel = f"$t/delta-$snap%06d"
-        entries(t) = entries.getOrElse(t, Seq.empty) :+ rel
-        Future(timedWrite(t, rel, df))
-      }
-      futures.foreach(Await.result(_, Duration.Inf))
     }
-
-    val tmp = root.resolve(f"_snap-$snap%06d.json.tmp")
-    Files.writeString(tmp, renderManifest(entries.toMap))
-    Files.move(tmp, manifestPath(snap), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val tmpLatest = root.resolve("_latest.tmp")
-    Files.writeString(tmpLatest, snap.toString)
-    Files.move(tmpLatest, latestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    entries.toMap
   }
 
-  def read(table: String): DataFrame =
-    readAt(table, latestSnapshot.getOrElse(
-      throw new IllegalStateException(s"no snapshot committed under $rootDir")))
-
-  def readAt(table: String, snap: Int): DataFrame = {
-    val dirs = readManifest(snap).getOrElse(table,
-      throw new IllegalArgumentException(s"table $table absent in snapshot $snap"))
-    spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
-  }
-
-  def tablesAt(snap: Int): Set[String] = readManifest(snap).keySet
-
-  /** Bin-pack an append table's deltas into one directory sorted by
-    * `sortCols` (keeps the 10^10-row `seen` anti-join input clustered by
-    * fingerprint — SURVEY.md §5 physical layout). Commits snapshot `snap`.
-    */
-  def compact(snap: Int, table: String, sortCols: Seq[String], buckets: Int): Unit = {
-    val df = read(table)
-    import org.apache.spark.sql.functions.col
-    val rel = f"$table/compact-$snap%06d"
-    df.repartitionByRange(buckets, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(root.resolve(rel).toString)
-    val prev = latestSnapshot.map(readManifest).getOrElse(Map.empty)
-    val entries = prev.updated(table, Seq(rel))
+  /** Flip snapshot `snap` live (atomic manifest + `_latest` rename). */
+  def commitManifest(snap: Int, entries: Map[String, Seq[String]]): Unit = {
     val tmp = root.resolve(f"_snap-$snap%06d.json.tmp")
     Files.writeString(tmp, renderManifest(entries))
     Files.move(tmp, manifestPath(snap), StandardCopyOption.ATOMIC_MOVE,
@@ -134,6 +117,67 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     Files.writeString(tmpLatest, snap.toString)
     Files.move(tmpLatest, latestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def commit(
+      snap: Int,
+      overwrite: Map[String, DataFrame],
+      append: Map[String, DataFrame]): Unit =
+    commitManifest(snap, writeData(snap, overwrite, append))
+
+  def read(table: String): DataFrame =
+    readAt(table, latestSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot committed under $rootDir")))
+
+  def readAt(table: String, snap: Int): DataFrame = {
+    val m = readManifest(snap)
+    val dirs = m.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table absent in snapshot $snap"))
+    // a combined delta only materializes _t= subdirs for non-empty tables;
+    // skip absent ones (the recorded schema keeps empty reads typed)
+    val present = dirs.map(d => root.resolve(d).toString)
+      .filter(d => Files.exists(Paths.get(d)))
+    m.get(SchemaKey + table).flatMap(_.headOption) match {
+      case Some(ddl) =>
+        val schema = StructType.fromDDL(ddl)
+        if (present.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // explicit schema: selects exactly the table's columns out of the
+        // null-padded combined files, types pinned, no inference I/O
+        else spark.read.schema(schema).parquet(present: _*)
+      case None => // pre-batching manifest (plain per-table dirs only)
+        spark.read.parquet(present: _*)
+    }
+  }
+
+  def tablesAt(snap: Int): Set[String] =
+    readManifest(snap).keySet.filterNot(_.startsWith(SchemaKey))
+
+  /** Bin-pack an append table's deltas into one directory sorted by
+    * `sortCols` (keeps the 10^10-row `seen` anti-join input clustered by
+    * fingerprint — SURVEY.md §5 physical layout). Commits snapshot `snap`.
+    * `retain` (optional) filters rows while rewriting — the TTL/retention
+    * delete path (rows failing the predicate are dropped from the new
+    * snapshot; prior snapshots still see them — Iceberg rewrite+expiry).
+    */
+  def compact(
+      snap: Int,
+      table: String,
+      sortCols: Seq[String],
+      buckets: Int,
+      retain: Option[Column] = None): Unit = {
+    val df0 = read(table)
+    val df = retain.map(df0.filter).getOrElse(df0)
+    import org.apache.spark.sql.functions.col
+    val rel = f"$table/compact-$snap%06d"
+    df.repartitionByRange(buckets, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(root.resolve(rel).toString)
+    val prev = latestSnapshot.map(readManifest).getOrElse(Map.empty)
+    val entries = prev
+      .updated(table, Seq(rel))
+      .updated(SchemaKey + table, Seq(df.schema.toDDL))
+    commitManifest(snap, entries)
   }
 
   // --- tiny hand-rolled JSON (flat {str: [str]} shape only) ---
@@ -150,19 +194,4 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       m.group(1) -> strRx.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
     }.toMap
   }
-}
-
-object SnapshotStore {
-  /** Shared pool for concurrent append writes (bounded — each write is
-    * itself a parallel Spark job).
-    */
-  private[store] lazy val commitPool =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        8,
-        r => {
-          val t = new Thread(r, "snapshot-commit")
-          t.setDaemon(true)
-          t
-        }))
 }

@@ -22,10 +22,7 @@ class SequencerSpec extends AnyFunSuite {
       (s"http://h${graft.url.Hashing.nonNeg(graft.url.Hashing.mix(i.toLong))}.onion/p$i",
         s"h${i % 37}.onion", i % 3, graft.url.Hashing.mix(i * 7L))
     }
-    rows.toDF("url", "host", "priority", "enqueue_seq")
-      .repartitionByRange(parts, Politeness.Order: _*)
-      .sortWithinPartitions(Politeness.Order: _*)
-      .persist()
+    GoldenSeq.layout(rows.toDF("url", "host", "priority", "enqueue_seq"), parts)
   }
 
   private def reference(n: Int, seqBase: Long): Seq[(Long, String)] = {
@@ -58,6 +55,24 @@ class SequencerSpec extends AnyFunSuite {
     val plan = GoldenSeq.assign(sched, st, 1, 0L).queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"single-task stage:\n$plan")
     assert(st.counts.size > 1, "bench-shape input collapsed to one range")
+    sched.unpersist()
+  }
+
+  test("sequence survives consumption inside a union (combined-write shape)") {
+    // union members get renumbered task partition ids — the stored _pid
+    // must keep the offsets correct (regression: TaskContext-based ids
+    // produced duplicate/gapped sequences under the batched append write)
+    val expect = reference(997, seqBase = 41L)
+    val sched = schedule(997, 5)
+    val st = GoldenSeq.stats(sched, bloomItems = 2048)
+    val log = GoldenSeq.assign(sched, st, 1, 41L)
+      .withColumn("_t", lit("crawl_log"))
+    val other = spark.range(100)
+      .selectExpr("concat('u', id) AS url").withColumn("_t", lit("x"))
+    val got = other.unionByName(log, allowMissingColumns = true)
+      .filter(col("_t") === "crawl_log")
+      .select("seq", "url").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == expect, "sequence drifted when consumed through a union")
     sched.unpersist()
   }
 
