@@ -46,7 +46,7 @@ object GoldenSeq {
       .repartitionByRange(numPartitions, graft.frontier.Politeness.Order: _*)
       .sortWithinPartitions(graft.frontier.Politeness.Order: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(false)
 
   /** ONE job over the cached range-partitioned schedule computing all
     * per-round driver facts that previously cost three: per-partition

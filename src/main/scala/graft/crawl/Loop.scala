@@ -32,6 +32,18 @@ final class CrawlLoop(
 
   import spark.implicits._
 
+  /** Free a round intermediate. Cut points are `localCheckpoint(false)`
+    * (see Round's scaladoc) — their storage hangs off the truncated
+    * RDD, not the cache manager, so unpersist the `LogicalRDD` leaves.
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ =>
+    }
+  }
+
   private val timing = sys.env.contains("GRAFT_TIMING")
   private def timed[A](r: Int, label: String)(f: => A): A =
     if (!timing) f
@@ -85,10 +97,23 @@ final class CrawlLoop(
       robots: Dataset[RobotsRule],
       hostDeaths: DataFrame,
       rounds: Int): Int = {
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // plan-description rendering is eager per action (for the SQL
+    // listener event, UI or not) and the round DAG's nested cached plans
+    // render exponentially — cap it for the loop's duration too
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.maxPlanStringLength" -> "2048",
+      "spark.sql.ui.explainMode" -> "simple"
+    ).map { case (k, v) =>
+      val prev = try Some(spark.conf.get(k)) catch { case _: Exception => None }
+      spark.conf.set(k, v)
+      k -> prev
+    }
     try runInner(corpus, robots, hostDeaths, rounds)
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   private def runInner(
@@ -179,7 +204,7 @@ final class CrawlLoop(
           store.compact(r, "pages", Seq("host", "url"), buckets = cfg.saltBuckets,
             retain = Some(col("visited_round") > r - cfg.pageTtlRounds))
       }
-      out.cached.foreach(_.unpersist())
+      out.cached.foreach(release)
       executed += 1
     }
     corpusHosts.unpersist()

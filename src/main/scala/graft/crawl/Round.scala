@@ -51,7 +51,23 @@ final case class RoundOutputs(
     scheduledCount: Long,
     cached: Seq[DataFrame])
 
-/** ONE crawl round as a single DataFrame program (SURVEY.md §4.1):
+/** ONE crawl round as a single DataFrame program (SURVEY.md §4.1).
+  *
+  * Intermediate reuse points are `localCheckpoint(eager = false)`, NOT
+  * `persist()`: the round DAG shares subtrees heavily (parsed feeds six
+  * sinks, the schedule five), and Catalyst renders DAG-shaped plans as
+  * trees — duplicating shared subtrees — so with ~10 NESTED cached
+  * levels the plan STRING grows exponentially. `persist()` forces that
+  * rendering for every `CachedRDDBuilder.cachedName`, and every action
+  * renders it again for the SQL-listener event: measured 2^31 characters
+  * (OOM) on a two-round chain, and multi-second driver stalls per action
+  * at bench scale. A lazy local checkpoint materializes on first use
+  * exactly like a cache, but truncates lineage to a `LogicalRDD` leaf —
+  * every downstream plan is shallow, rendering is O(nodes), and analysis
+  * cost stops compounding. (Trade-off: truncated partitions cannot be
+  * recomputed after executor loss — a re-run from the last snapshot is
+  * the recovery path, which the resume contract guarantees anyway.)
+  *
   *
   *   frontier ─robots gate─ politeness budget ─▶ scheduled (golden order)
   *     ─corpus equi-join─▶ fetched ─span parse─▶ pages/links/facts
@@ -104,7 +120,7 @@ object Round {
     // Cached: re-used by the carry-over anti-join, next-frontier build and
     // per-partition metrics — without the cache every sink that reaches it
     // re-runs the eligibility joins + gate resolution.
-    val gated = in.robots(eligible).persist()
+    val gated = in.robots(eligible).localCheckpoint(false)
     val denied = gated.filter(!col("robots_allowed"))
     val allowed = gated.filter(col("robots_allowed"))
 
@@ -112,7 +128,7 @@ object Round {
     // cached before the range exchange so its sampling pass and the
     // shuffle read the window output once, then laid out as ordered
     // ranges of the normative crawl order for the sequencer
-    val sched0 = Politeness.schedule(allowed, cfg).persist()
+    val sched0 = Politeness.schedule(allowed, cfg).localCheckpoint(false)
     val scheduled =
       GoldenSeq.layout(sched0, spark.sessionState.conf.numShufflePartitions)
     val carryover = allowed
@@ -152,7 +168,7 @@ object Round {
         coalesce(col("host_in_corpus"), lit(false)) &&
           coalesce(col("dead_from_round"), lit(Int.MaxValue)) > round)
       .withColumn("alive", col("doc_id").isNotNull && col("host_alive"))
-      .persist()
+      .localCheckpoint(false)
 
     // ---- 6. parse spans (one typed pass, SURVEY.md U5)
     val parsed: Dataset[ParsedPage] = joined
@@ -166,11 +182,11 @@ object Round {
           p.links, p.media_refs, p.onions, p.emails, p.btcs, p.ssh_fps,
           p.ports)
       }
-      .persist()
+      .localCheckpoint(false)
 
     // connection failures only — the dead-host signal
     val misses = joined.filter(!col("host_alive"))
-      .select(col("url"), col("host"), col("depth"), col("retries")).persist()
+      .select(col("url"), col("host"), col("depth"), col("retries")).localCheckpoint(false)
     // 404s: live host, absent doc — recorded, never retried
     val notFound = joined.filter(col("host_alive") && col("doc_id").isNull)
       .select(col("url"), col("host"))
@@ -231,11 +247,11 @@ object Round {
           col("discovered_from")),
         struct(col("enqueue_seq"), col("discovered_from"))).as("e"))
       .select(col("fingerprint"), col("e.*"))
-      .persist()
+      .localCheckpoint(false)
 
     // two-phase bloom + exact anti-join vs seen (J2); cached — consumed by
     // crap detection (with a collect), seen delta, frontier and metrics
-    val fresh0 = seenSet.filterNew(bestPerFp, in.seen).persist()
+    val fresh0 = seenSet.filterNew(bestPerFp, in.seen).localCheckpoint(false)
 
     // subdomain-spam (is_crap) detection on the fresh candidate hosts —
     // the (tiny) bomb-base set stays distributed: a broadcast anti-join
@@ -247,12 +263,12 @@ object Round {
       .agg(countDistinct(col("host")).as("n_sub"))
       .filter(col("n_sub") > cfg.crapSubdomainLimit && col("base") =!= "")
       .select(col("base"))
-      .persist()
+      .localCheckpoint(false)
     val fresh = fresh0
       .withColumn("base", baseExpr)
       .join(broadcast(crapBases), Seq("base"), "left_anti")
       .drop("base")
-      .persist()
+      .localCheckpoint(false)
 
     val seenDelta = fresh
       .select(col("fingerprint"), col("url"), lit(round + 1).as("first_round"))
@@ -267,7 +283,7 @@ object Round {
     val missHostsD = misses.select("host").distinct()
       .join(priorDead, Seq("host"), "left")
       .withColumn("dead_now", coalesce(col("prior_dead"), lit(0)) + 1)
-      .persist()
+      .localCheckpoint(false)
     // per-URL retry cap (Scrapy RetryMiddleware semantics) on top of the
     // host-level retirement — otherwise one permanent 404 on a healthy
     // host would be retried forever and the host would never go stale
@@ -304,7 +320,7 @@ object Round {
         struct((lit(Priorities.NewOnion) - col("priority")).as("inv_priority"),
           col("enqueue_seq"))).as("e"))
       .select((Seq(col("url")) ++ frontierCols.filter(_ != "url").map(n => col(s"e.$n"))): _*)
-      .persist() // consumed by the frontier write AND the new-host probe
+      .localCheckpoint(false) // consumed by the frontier write AND the new-host probe
 
     // ---- 12. domains merge (K1 upsert = full-outer + coalesce)
     // any HTTP response (200 or 404) counts as "host alive" observation;
@@ -320,7 +336,7 @@ object Round {
     val newHostRows = frontierNext.select("host").distinct()
       .join(in.domains.select("host"), Seq("host"), "left_anti")
       .join(obs.select("host"), Seq("host"), "left_anti")
-      .persist()
+      .localCheckpoint(false)
 
     val mergedBase = in.domains
       .join(obs, Seq("host"), "full_outer")

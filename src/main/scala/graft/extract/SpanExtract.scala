@@ -29,8 +29,8 @@ final case class Parsed(
   */
 object SpanExtract {
 
-  private val HrefRx = """(?i)href\s*=\s*["']([^"'\s>]+)["']""".r
-  private val TitleRx = """(?is)<title[^>]*>(.*?)</title>""".r
+  val HrefRxPub = """(?i)href\s*=\s*["']([^"'\s>]+)["']""".r
+  val TitleRxPub = """(?is)<title[^>]*>(.*?)</title>""".r
   val OnionRx = """([a-z2-7]{16}|[a-z2-7]{56})\.onion""".r
   val EmailRx = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""".r
   val BtcRx = """\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b""".r
@@ -39,6 +39,110 @@ object SpanExtract {
     */
   val SshFpRx = """SHA256:[A-Za-z0-9]{43}""".r
   val PortRx = """\b(\d{1,5})/tcp open""".r
+
+  // ---- anchored linear scanners -------------------------------------
+  // java.util.regex find() restarts the backtracking engine at every
+  // text position: for EmailRx that is O(text × run-length) with large
+  // pointer-chasing constants — measured at >50% of the WHOLE document
+  // parse, and the dominant executor CPU of a crawl round. Email and
+  // onion matches are anchored by literal substrings ('@', ".onion"), so
+  // an indexOf-driven scan that expands around each anchor produces the
+  // EXACT regex match sequence (proof sketched inline; property-tested
+  // against the regexes over adversarial random strings in
+  // FastScanSpec) at a fraction of the cost.
+
+  private def asciiSet(chars: String): Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    chars.foreach(c => a(c) = true)
+    a
+  }
+  private val Alnum =
+    ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString
+  private val LocalChars = asciiSet(Alnum + "._%+-")   // EmailRx local part
+  private val DomainChars = asciiSet(Alnum + ".-")     // EmailRx domain
+  private val AlphaChars = asciiSet(Alnum.take(52))    // EmailRx tld
+  private val OnionChars = asciiSet(('a' to 'z').mkString + "234567")
+
+  @inline private def in(set: Array[Boolean], c: Char): Boolean =
+    c < 128 && set(c)
+
+  /** Exactly `EmailRx.findAllMatchIn(text).map(_.matched)`.
+    *
+    * Equivalence: `L+@D+\.A{2,}` can only match with the '@' adjacent to
+    * a maximal L-run on its left ('@'∉L, so greedy L+ never ends
+    * mid-run), and the domain is the D-run after '@' truncated at the
+    * RIGHTMOST dot that is followed by ≥2 alphas (D+ backtracks from its
+    * maximum, A{2,} is greedy; '.'∈D and A⊂D keep everything inside the
+    * run). find()'s non-overlap rule = clamping the local-part back-scan
+    * at the previous match end.
+    */
+  def fastEmails(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val n = text.length
+    var prevEnd = 0
+    var at = text.indexOf('@')
+    while (at >= 0) {
+      var matched = false
+      if (at > prevEnd) {
+        // maximal local-part run ending at '@', clamped at prevEnd
+        var ls = at
+        while (ls > prevEnd && in(LocalChars, text.charAt(ls - 1))) ls -= 1
+        if (ls < at) {
+          // maximal domain run after '@'
+          var de = at + 1
+          while (de < n && in(DomainChars, text.charAt(de))) de += 1
+          // rightmost dot inside the run followed by >=2 alphas
+          var j = de - 1
+          var end = -1
+          while (j > at + 1 && end < 0) {
+            if (text.charAt(j) == '.') {
+              var a = j + 1
+              while (a < n && in(AlphaChars, text.charAt(a))) a += 1
+              if (a - (j + 1) >= 2) end = a
+            }
+            j -= 1
+          }
+          if (end > 0) {
+            out += text.substring(ls, end)
+            prevEnd = end
+            at = text.indexOf('@', end)
+            matched = true
+          }
+        }
+      }
+      if (!matched) at = text.indexOf('@', at + 1)
+    }
+    out.result()
+  }
+
+  /** Exactly `OnionRx.findAllMatchIn(text).map(_.matched)`.
+    *
+    * Equivalence: a match is a 16- or 56-char [a-z2-7] run immediately
+    * before literal ".onion". find() picks the LEFTMOST start, so a run
+    * of ≥56 matches its 56-suffix (starts further left than the
+    * 16-suffix), a run of 16..55 matches its 16-suffix, shorter runs
+    * never match; scanning anchors left-to-right from the previous match
+    * end reproduces non-overlap.
+    */
+  def fastOnions(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var prevEnd = 0
+    var dot = text.indexOf(".onion")
+    while (dot >= 0) {
+      var rs = dot
+      while (rs > prevEnd && in(OnionChars, text.charAt(rs - 1))) rs -= 1
+      val run = dot - rs
+      val take = if (run >= 56) 56 else if (run >= 16) 16 else 0
+      if (take > 0) {
+        out += text.substring(dot - take, dot + 6)
+        prevEnd = dot + 6
+        dot = text.indexOf(".onion", dot + 6)
+      } else {
+        dot = text.indexOf(".onion", dot + 1)
+      }
+    }
+    out.result()
+  }
 
   /** Span-order fidelity (SURVEY.md §9.5 #5): ALWAYS re-sort by offset —
     * never trust arrival order after a shuffle/explode.
@@ -51,14 +155,14 @@ object SpanExtract {
     val media = sorted.collect { case s if s.kind == "media" && s.media_ref != null => s.media_ref }
     val joined = texts.mkString("\n")
 
-    val title = TitleRx.findFirstMatchIn(joined)
+    val title = TitleRxPub.findFirstMatchIn(joined)
       .map(m => m.group(1).trim.take(255)).getOrElse("")
 
     // anchors in span order; pos is global across the document
     val links = Seq.newBuilder[ExtractedLink]
     var pos = 0
     texts.foreach { t =>
-      HrefRx.findAllMatchIn(t).foreach { m =>
+      HrefRxPub.findAllMatchIn(t).foreach { m =>
         Urls.resolve(baseUrl, m.group(1)).foreach { abs =>
           if (Urls.isOnionHost(Urls.hostOf(abs))) {
             links += ExtractedLink(abs, pos)
@@ -68,9 +172,8 @@ object SpanExtract {
       }
     }
 
-    val onions = distinctInOrder(
-      OnionRx.findAllMatchIn(joined).map(m => m.matched.toLowerCase).toSeq)
-    val emails = distinctInOrder(EmailRx.findAllMatchIn(joined).map(_.matched).toSeq)
+    val onions = distinctInOrder(fastOnions(joined).map(_.toLowerCase))
+    val emails = distinctInOrder(fastEmails(joined))
     val btcs = distinctInOrder(BtcRx.findAllMatchIn(joined).map(_.matched).toSeq)
     val sshFps = distinctInOrder(SshFpRx.findAllMatchIn(joined).map(_.matched).toSeq)
     val ports = distinctInOrder(PortRx.findAllMatchIn(joined).map(_.group(1)).toSeq)
