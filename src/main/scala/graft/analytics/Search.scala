@@ -40,6 +40,13 @@ object Search {
 
   /** multi_match-style query: score = matched distinct terms, title
     * matches boosted 2×; page/pageSize = ES from/size (W2 pagination).
+    *
+    * Pagination is TOP-K, not a global window: `orderBy.limit(n)` plans
+    * as TakeOrderedAndProject — every partition keeps its local top
+    * `(page+1)*pageSize` rows and only those reach the driver-side
+    * merge. (A `row_number() OVER (ORDER BY ...)` would sort the entire
+    * hit set in one task.) The residual window ranks only the ≤ n
+    * surviving rows.
     */
   def query(
       index: DataFrame, q: String,
@@ -53,10 +60,12 @@ object Search {
         countDistinct(col("term")).as("matched"),
         sum(when(col("in_title"), 1).otherwise(0)).as("title_hits"))
       .withColumn("score", col("matched") + lit(2) * col("title_hits"))
+    val n = (page + 1) * pageSize
+    val topN = hits.orderBy(col("score").desc, col("url").asc).limit(n)
     val w = Window.orderBy(col("score").desc, col("url").asc)
-    hits
+    topN
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > page * pageSize && col("rn") <= (page + 1) * pageSize)
+      .filter(col("rn") > page * pageSize)
       .select(col("rn").as("rank"), col("url"), col("host"), col("score"),
         col("matched"), col("title_hits"))
   }

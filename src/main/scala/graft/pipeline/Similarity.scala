@@ -87,22 +87,61 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
   }
 
+  /** nBits-bit signature for band `band` — independent plane sets per
+    * band (seed folded into the plane index).
+    */
+  def bandSignature(vec: Column, nBits: Int, band: Int): Column =
+    (0 until nBits).map { j =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(band * 1024 + j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
   /** Embedding near-duplicate pairs: hyperplane-bucketed candidates
     * verified by exact cosine ≥ tau (the embedding analogue of
-    * MinHash-LSH for text).
+    * MinHash-LSH for text). `bands` independent hash tables union their
+    * candidates — the standard recall knob: per-band collision
+    * probability is (1 - θ/π)^nBits, overall recall
+    * 1 - (1 - p)^bands; exactness of emitted pairs is band-independent
+    * (every candidate is verified).
     */
   def cosineNearDups(
       corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nBits: Int = 8): DataFrame = {
-    val sig = corpus.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
-    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("bucket"))
-    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      tau: Double, nBits: Int = 8, bands: Int = 1): DataFrame = {
+    val sig = corpus.select(
+      (Seq(col(idCol), col(vecCol)) ++
+        (0 until bands).map(b =>
+          bandSignature(col(vecCol), nBits, b).as(s"bucket_$b"))): _*)
+    val candidates = (0 until bands).map { b =>
+      val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col(s"bucket_$b").as("bucket"))
+      val bb = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col(s"bucket_$b").as("bucket"))
+      a.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+    }.reduce(_ unionByName _)
+    candidates
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .distinct()
+  }
+
+  /** EXACT near-duplicate pairs — the O(n²) verification baseline for
+    * [[cosineNearDups]] (full oracle; run on samples/blocks at scale,
+    * the LSH variant is the scale path). Filter on the raw cosine,
+    * emit it rounded.
+    */
+  def exactCosinePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("c") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }
 }

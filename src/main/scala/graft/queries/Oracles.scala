@@ -181,6 +181,24 @@ object Oracles {
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // exact cosine pairs: list_reduce's left fold reproduces Spark's
+    // aggregate(zip_with(...)) double-add sequence bit-for-bit (the
+    // leading +0.0 in Spark's fold is exact), so round(,6) agrees
+    "dd07_embed_exact_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 6) AS cos FROM p
+        |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
     "dd05_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source,
@@ -244,6 +262,34 @@ object Oracles {
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // langid votes are pure length/replace arithmetic: (len - len(strip
+    // marker))/len(marker). Integer '/' is float division in BOTH
+    // engines; replace() counts non-overlapping occurrences in both.
+    // lang_pred = first language (alphabetical) with votes > 0 equal to
+    // the max — the CASE mirrors the Spark fold's acc="und" guard.
+    "ta03_langid" -> {
+      val markers = Map(
+        "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " ein "),
+        "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in "),
+        "es" -> Seq(" el ", " la ", " y ", " es ", " los ", " una "),
+        "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", " une "))
+      val langs = markers.keys.toSeq.sorted
+      def votes(l: String) = markers(l)
+        .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+        .mkString(" + ")
+      val voteCols = langs.map(l => s"${votes(l)} AS v_$l").mkString(",\n  ")
+      val gmax = s"greatest(${langs.map("v_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN v_$l > 0 AND v_$l = $gmax THEN '$l'")
+        .mkString(" ")
+      s"""WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+         |v AS (SELECT doc_id,
+         |  $voteCols
+         |FROM p0)
+         |SELECT doc_id, v_de, v_en, v_es, v_fr,
+         |  CASE $cases ELSE 'und' END AS lang_pred
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "ta02_quality" ->
       """WITH base AS (

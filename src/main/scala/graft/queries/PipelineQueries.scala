@@ -24,11 +24,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash signature prefix (deterministic; xxhash64 — rows-only)
+    // MinHash signature prefix (deterministic; xxhash64 — rows-only).
+    // Emitted as a comma-joined STRING: the driver's comparator hashes
+    // column values and cannot hash raw arrays.
     "dd02_minhash_signature" -> ((s, d) => {
       Dedup.minhashSignatures(docs(s, d), "doc_id", "text")
         .select(col("doc_id"),
-          slice(col("minhash"), 1, 4).as("sig_prefix"))
+          array_join(transform(slice(col("minhash"), 1, 4),
+            x => x.cast("string")), ",").as("sig_prefix"))
         .orderBy(col("doc_id"))
     }),
 
@@ -61,10 +64,20 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // embedding near-dup pairs via hyperplane LSH + exact cosine (rows-only)
+    // embedding near-dup pairs via multi-band hyperplane LSH + exact
+    // cosine verification (candidate set is probabilistic — rows-only;
+    // dd07 is the exact-oracle twin). tau fits the testdata's random
+    // embeddings so the operator demonstrably yields pairs.
     "dd06_embed_neardups" -> ((s, d) => {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
-        tau = 0.95, nBits = 8)
+        tau = 0.4, nBits = 4, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact embedding near-dup pairs — FULL oracle (DuckDB list_reduce
+    // reproduces the same left-fold double arithmetic)
+    "dd07_embed_exact_pairs" -> ((s, d) => {
+      Similarity.exactCosinePairs(embs(s, d), "vec_id", "embedding", tau = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

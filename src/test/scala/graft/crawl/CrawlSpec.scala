@@ -193,6 +193,33 @@ class CrawlSpec extends AnyFunSuite {
     assert(d1 == d2)
   }
 
+  test("retention TTL: expired page rows vanish at compaction; crawl continues") {
+    val store = runCrawl(rounds = 6, partitions = 4,
+      c = cfg.copy(pageTtlRounds = 2, compactEveryRounds = 2))
+    val pages = store.read("pages")
+    val maxRound = pages.agg(max("visited_round")).as[Int].collect()(0)
+    // last compaction at round 6 kept only visited_round > 6 - 2
+    val old = pages.filter(col("visited_round") <= maxRound - 2).count()
+    assert(old == 0, s"$old expired page rows survived the TTL rewrite")
+    assert(pages.count() > 0)
+    // prior snapshots still see the full history (Iceberg-style rewrite)
+    val before = store.readAt("pages", 3).filter(col("visited_round") <= 1).count()
+    assert(before > 0, "time travel lost pre-TTL rows")
+  }
+
+  test("search pagination plans as top-k (TakeOrderedAndProject), pages disjoint") {
+    val idx = graft.analytics.Search.buildIndex(
+      mainStore.read("pages"), corpusDF)
+    val q1 = graft.analytics.Search.query(idx, "hidden market directory", page = 0, pageSize = 5)
+    val plan = q1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"pagination not top-k:\n$plan")
+    val p0 = q1.select("url").as[String].collect().toSeq
+    val p1 = graft.analytics.Search.query(idx, "hidden market directory", page = 1, pageSize = 5)
+      .select("url").as[String].collect().toSeq
+    assert(p0.toSet.intersect(p1.toSet).isEmpty)
+    assert(p0.size <= 5 && p1.size <= 5)
+  }
+
   test("RESUME: 3 rounds + stop + resume 3 ≡ straight 6 rounds") {
     val dir = Files.createTempDirectory("crawl-resume").toString
     spark.conf.set("spark.sql.shuffle.partitions", "4")
