@@ -103,7 +103,11 @@ final class CrawlLoop(
     val saved = Seq(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.maxPlanStringLength" -> "2048",
-      "spark.sql.ui.explainMode" -> "simple"
+      "spark.sql.ui.explainMode" -> "simple",
+      // a broadcast whose subtree first-touches a lazy checkpoint can
+      // materialize the whole upstream inside the broadcast thread's
+      // budget — at low parallelism that exceeds the 300s default
+      "spark.sql.broadcastTimeout" -> "3600"
     ).map { case (k, v) =>
       val prev = try Some(spark.conf.get(k)) catch { case _: Exception => None }
       spark.conf.set(k, v)

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native extension entry point: makes every graft expression —
+  * the codegen'd URL functions and the Bloom sketch pair — available in
+  * ANY session (SQL and `call_function`) via standard configuration:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * (The `UrlExpressions`/`SketchExpressions` helpers self-register into
+  * the active session lazily, so the extension is optional for Column-API
+  * users — it exists for spark-submit / SQL-only deployments where the
+  * session is built from config.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", name, usage)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("canonicalize_url", "canonicalize_url(url) - w3lib/Scrapy-style canonical form") {
+      exprs => CanonicalizeUrl(exprs.head)
+    }
+    inject("url_fingerprint", "url_fingerprint(url) - sha1 of GET + canonical url") {
+      exprs => UrlFingerprint(exprs.head)
+    }
+    inject("url_host", "url_host(url) - lowercased host or ''") {
+      exprs => UrlHost(exprs.head)
+    }
+    inject("url_path", "url_path(url) - path component, '/' default") {
+      exprs => UrlPath(exprs.head)
+    }
+    inject("graft_bloom_agg", "graft_bloom_agg(col, items, numBits) - serialized Bloom filter") {
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))
+    }
+    inject("graft_might_contain", "graft_might_contain(bloom, value) - Bloom membership") {
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))
+    }
+  }
+}

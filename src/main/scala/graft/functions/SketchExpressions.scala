@@ -56,6 +56,9 @@ object SketchExpressions {
 
   /** Map-side Bloom membership probe against a (foldable) serialized
     * filter — stays inside codegen, unlike a broadcast+UDF probe.
+    * NOTE: the native probe accepts BIGINT values only (build the filter
+    * over `xxhash64(col)` to use it); string-built filters are probed
+    * with `BloomFilter.mightContainString` via [[readSketch]].
     */
   def might_contain(bloomBytes: Column, value: Column): Column = {
     ensure()

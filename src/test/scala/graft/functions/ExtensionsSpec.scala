@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `GraftExtensions` must inject working SQL builders for every graft
+  * function. (A fully fresh session per extension isn't possible in the
+  * shared-JVM suite — `getOrCreate` returns the active session — so the
+  * injection path is exercised by applying the extension object and
+  * registering into the live registry, exactly what session construction
+  * does with `spark.sql.extensions`.)
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestSession.spark
+
+  test("GraftExtensions injects all six functions; SQL evaluates them") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftExtTestBridge.register(
+      ext, spark.sessionState.functionRegistry)
+
+    val r = spark.sql(
+      """SELECT
+        |  canonicalize_url('HTTP://ABC.onion/a/../b?z=1&a=2#f') AS canon,
+        |  url_host('http://x.onion/p') AS host,
+        |  url_path('http://x.onion/p?q=1') AS path,
+        |  length(url_fingerprint('http://x.onion/')) AS fplen
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "http://abc.onion/b?a=2&z=1")
+    assert(r.getString(1) == "x.onion")
+    assert(r.getString(2) == "/p")
+    assert(r.getInt(3) == 40)
+
+    // might_contain probes are BIGINT-only (string-built filters are
+    // probed via the sketch API driver/executor-side instead)
+    val bloomHit = spark.sql(
+      """WITH t AS (SELECT explode(sequence(1, 100)) AS v)
+        |SELECT graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(v), 1000L, 8000L) FROM t),
+        |  xxhash64(7)) AS hit""".stripMargin).collect()(0).getBoolean(0)
+    assert(bloomHit)
+    val bloomMiss = spark.sql(
+      """WITH t AS (SELECT explode(sequence(1, 100)) AS v)
+        |SELECT graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(v), 1000L, 8000L) FROM t),
+        |  xxhash64(-12345)) AS hit""".stripMargin).collect()(0).getBoolean(0)
+    assert(!bloomMiss)
+  }
+}
