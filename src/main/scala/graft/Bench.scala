@@ -113,8 +113,8 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpus.count() // materialize outside the timed section
     val seeds = (0L until benchHosts by 7L).map(i => SyntheticCorpus.urlOf(i, 0))
-    loop.init(seeds)
     val robots = SyntheticCorpus.robotsLocal(math.min(benchHosts, 100000L).toInt).toDS()
+    loop.init(seeds, robots)
     val deaths = SyntheticCorpus.hostDeathsLocal(math.min(benchHosts, 100000L).toInt)
       .toDF("host", "dead_from_round")
     def processedSoFar(): Long = {
@@ -128,10 +128,10 @@ object Bench {
     // the STEADY-STATE round throughput — the regime the 10^10 frontier
     // lives in. GRAFT_BENCH_WARM_ROUNDS=0 restores the cold measurement.
     val warmRounds = sys.env.getOrElse("GRAFT_BENCH_WARM_ROUNDS", "1").toInt
-    if (warmRounds > 0) loop.run(corpus, robots, deaths, warmRounds)
+    if (warmRounds > 0) loop.run(corpus, deaths, warmRounds)
     val processedBefore = processedSoFar()
     val crawlSec = time {
-      loop.run(corpus, robots, deaths, benchRounds)
+      loop.run(corpus, deaths, benchRounds)
     }
     val processed = processedSoFar() - processedBefore
     val urlsPerSec = processed / crawlSec

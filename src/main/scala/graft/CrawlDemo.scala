@@ -41,12 +41,15 @@ object CrawlDemo {
     val store = new SnapshotStore(stateDir, spark)
     val loop = new CrawlLoop(store, cfg)
     val resumedFrom = store.latestSnapshot
-    if (resumedFrom.isEmpty) loop.init(SyntheticCorpus.seedsLocal(nHosts, math.max(3, nHosts / 4)))
+    if (resumedFrom.isEmpty)
+      loop.init(SyntheticCorpus.seedsLocal(nHosts, math.max(3, nHosts / 4)),
+        SyntheticCorpus.robotsLocal(nHosts).toDS())
     else println(s"[crawl] resuming from snapshot ${resumedFrom.get}")
 
+    // robots_rules are read from the committed snapshot — a resumed run
+    // restores the politeness gate without re-supplying it
     val executed = loop.run(
       SyntheticCorpus.docsLocal(nHosts).toDS().toDF(),
-      SyntheticCorpus.robotsLocal(nHosts).toDS(),
       SyntheticCorpus.hostDeathsLocal(nHosts).toDF("host", "dead_from_round"),
       rounds)
 

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Api {
 
-  val Tables = Seq("frontier", "seen", "domains", "pages", "links",
-    "emails", "btc_addresses", "crawl_log", "metrics")
+  val Tables = Seq("frontier", "seen", "domains", "pages", "pages_fts",
+    "links", "emails", "btc_addresses", "ssh_fps", "open_ports",
+    "robots_rules", "crawl_log", "metrics")
 
   /** Register every committed table as a temp view (`graft_<table>`). */
   def registerViews(store: SnapshotStore, spark: SparkSession): Unit =

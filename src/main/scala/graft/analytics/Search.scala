@@ -15,9 +15,12 @@ object Search {
   def tokenize(text: Column): Column =
     array_distinct(filter(split(lower(text), "\\W+"), t => length(t) > 1))
 
-  /** Inverted index over crawled pages + their corpus text:
-    * (term, url, host, in_title). Built once per snapshot, appended like
-    * the ES index the reference maintained.
+  /** Inverted index rows over crawled pages + their corpus text:
+    * (term, url, host, in_title). The crawl loop calls this per round on
+    * the round's fetched pages + Bloom-pruned corpus slice and APPENDS the
+    * result to the committed `pages_fts` table (K2) — the ES index the
+    * reference maintained incrementally per crawl. Queries read the
+    * committed table; this builder also works one-shot for ad-hoc corpora.
     */
   def buildIndex(pages: DataFrame, corpus: DataFrame): DataFrame = {
     val body = corpus.select(
@@ -55,6 +58,13 @@ object Search {
     if (terms.isEmpty) return index.sparkSession.emptyDataFrame
     val hits = index
       .filter(col("term").isin(terms: _*))
+      // the COMMITTED index accumulates per-round deltas, so a recrawled
+      // page may carry duplicate (term, url) rows across rounds — dedup
+      // AFTER the term filter (the agg runs over the tiny hit set, and
+      // the term predicate pushes down to the scan), making query results
+      // identical over a freshly-built or delta-accumulated index
+      .groupBy(col("term"), col("url"), col("host"))
+      .agg(max(col("in_title")).as("in_title"))
       .groupBy(col("url"), col("host"))
       .agg(
         countDistinct(col("term")).as("matched"),

@@ -2,7 +2,7 @@ package graft.crawl
 
 import graft.functions.SketchExpressions
 import graft.model.CrawlLogEntry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -48,25 +48,50 @@ object GoldenSeq {
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(false)
 
+  /** Per-round Bloom size cap: the schedule is politeness-bounded, and
+    * the filter is a pure PREFILTER (the fetch equi-join discards false
+    * positives), so capping only raises FPP — never wrongness. 2^22 items
+    * at 1% FPP ≈ 40M bits ≈ 5 MB: the fixed per-partial-buffer memory
+    * bound on executors, and the size of the ONE filter the driver
+    * receives, regardless of frontier scale.
+    */
+  val MaxBloomItems: Long = 1L << 22
+
+  private val statsSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** ONE job over the cached range-partitioned schedule computing all
     * per-round driver facts that previously cost three: per-partition
-    * counts (offsets), the total (`scheduledCount`, seqBase advance), and
-    * the URL Bloom that prunes the fat corpus side of the fetch join
-    * map-side. `bloomItems` is a size HINT (the frontier size bounds it);
-    * a low hint only raises the prefilter's FPP — the fetch equi-join
-    * discards false positives, so exactness is hint-independent.
+    * counts (offsets, ridden as OBSERVED metrics — a handful of longs per
+    * task), the total (`scheduledCount`, seqBase advance), and the URL
+    * Bloom that prunes the fat corpus side of the fetch join map-side.
+    * The Bloom is a GLOBAL two-stage aggregate: partial filters merge
+    * executor-side through the shuffle and exactly ONE ≤5 MB filter
+    * reaches the driver — per-range full-size partials collected to the
+    * driver (the previous shape) are multi-GB at a multi-million-row
+    * schedule with hundreds of partitions.
+    *
+    * `bloomItems` is a size HINT (previous round's schedule size, capped
+    * at [[MaxBloomItems]]); a low hint only raises the prefilter's FPP —
+    * the fetch equi-join discards false positives, so exactness is
+    * hint-independent.
     */
   def stats(scheduled: DataFrame, bloomItems: Long, bloomFpp: Double = 0.01): SchedStats = {
-    val rows = scheduled
-      .groupBy(col("_pid"))
-      .agg(count(lit(1L)).as("cnt"),
-        SketchExpressions.bloom_agg(col("url"), bloomItems, bloomFpp).as("bf"))
-      .collect()
-    val counts = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val blooms = rows.map(r => SketchExpressions.readSketch(r.getAs[Array[Byte]](2)))
+    val nParts = scheduled.rdd.getNumPartitions
+    val items = math.min(math.max(1024L, bloomItems), MaxBloomItems)
+    val obs = Observation(s"sched-stats-${statsSeq.incrementAndGet()}")
+    val cntCols = (0 until nParts).map(i =>
+      sum(when(col("_pid") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val bytes = scheduled
+      .observe(obs, cntCols.head, cntCols.tail: _*)
+      .select(SketchExpressions.bloom_agg(col("url"), items, bloomFpp).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val metrics = obs.get
+    val counts = (0 until nParts).flatMap { i =>
+      Option(metrics(s"c$i")).map(_.asInstanceOf[Long]).filter(_ > 0).map(i -> _)
+    }.toMap
     val bloom =
-      if (blooms.isEmpty) BloomFilter.create(1) // empty schedule: matches nothing
-      else blooms.reduce { (a, b) => a.mergeInPlace(b); a }
+      if (bytes == null) BloomFilter.create(1) // empty schedule: matches nothing
+      else SketchExpressions.readSketch(bytes)
     SchedStats(counts, counts.valuesIterator.sum, bloom)
   }
 

@@ -55,9 +55,11 @@ final class CrawlLoop(
     }
 
   /** Snapshot 0: seed frontier + seed-seen (Scrapy marks seen at ENQUEUE
-    * time — SURVEY.md §6.5) + empty entity tables.
+    * time — SURVEY.md §6.5) + the politeness rule set (`robots_rules` is
+    * COMMITTED state, not a per-run argument: resume-from-snapshot must
+    * restore the same gate or the replay diverges) + empty entity tables.
     */
-  def init(seedUrls: Seq[String]): Unit = {
+  def init(seedUrls: Seq[String], robots: Dataset[RobotsRule]): Unit = {
     val canon = seedUrls.map(Urls.canonicalize).distinct
     val entries = canon.map { u =>
       FrontierEntry(u, Urls.hostOf(u), Priorities.NewOnion, Priorities.TierNew,
@@ -68,10 +70,12 @@ final class CrawlLoop(
     store.commit(0,
       overwrite = Map(
         "frontier" -> entries.toDS().toDF(),
-        "domains" -> emptyDomains),
+        "domains" -> emptyDomains,
+        "robots_rules" -> robots.toDF()),
       append = Map(
         "seen" -> seen.toDS().toDF(),
         "pages" -> spark.emptyDataset[PageRow].toDF(),
+        "pages_fts" -> spark.emptyDataset[FtsRow].toDF(),
         "links" -> spark.emptyDataset[LinkRow].toDF(),
         "emails" -> spark.emptyDataset[FactRow].toDF(),
         "btc_addresses" -> spark.emptyDataset[FactRow].toDF(),
@@ -94,12 +98,22 @@ final class CrawlLoop(
     */
   def run(
       corpus: DataFrame,
-      robots: Dataset[RobotsRule],
       hostDeaths: DataFrame,
-      rounds: Int): Int = {
+      rounds: Int,
+      /** overrides the COMMITTED `robots_rules` table (tests / what-if
+        * replays); normal runs — and every resume — read the snapshot. */
+      robotsOverride: Option[Dataset[RobotsRule]] = None): Int = {
     // plan-description rendering is eager per action (for the SQL
     // listener event, UI or not) and the round DAG's nested cached plans
     // render exponentially — cap it for the loop's duration too
+    // honor CrawlConfig's seen-filter sizing: the native Bloom aggregate
+    // silently clamps to these confs (see SketchExpressions.bloomConfMax),
+    // so raise them to the configured filter's size for the loop's
+    // duration — otherwise a >4M-item seen set runs at a degraded FPP
+    // without anyone asking for it
+    val (curMaxItems, curMaxBits) = graft.functions.SketchExpressions.bloomConfMax
+    val wantBits = graft.functions.SketchExpressions.optimalNumOfBits(
+      cfg.bloomExpectedItems, cfg.bloomFpp)
     val saved = Seq(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.maxPlanStringLength" -> "2048",
@@ -107,13 +121,17 @@ final class CrawlLoop(
       // a broadcast whose subtree first-touches a lazy checkpoint can
       // materialize the whole upstream inside the broadcast thread's
       // budget — at low parallelism that exceeds the 300s default
-      "spark.sql.broadcastTimeout" -> "3600"
+      "spark.sql.broadcastTimeout" -> "3600",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(curMaxItems, cfg.bloomExpectedItems).toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        math.max(curMaxBits, wantBits).toString
     ).map { case (k, v) =>
       val prev = try Some(spark.conf.get(k)) catch { case _: Exception => None }
       spark.conf.set(k, v)
       k -> prev
     }
-    try runInner(corpus, robots, hostDeaths, rounds)
+    try runInner(corpus, robotsOverride, hostDeaths, rounds)
     finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
@@ -122,14 +140,17 @@ final class CrawlLoop(
 
   private def runInner(
       corpus: DataFrame,
-      robots: Dataset[RobotsRule],
+      robotsOverride: Option[Dataset[RobotsRule]],
       hostDeaths: DataFrame,
       rounds: Int): Int = {
     val startSnap = store.latestSnapshot.getOrElse(
       throw new IllegalStateException("call init() first"))
     val seenSet = new SeenSet(cfg, store.rootDir, store.latestSnapshot)
-    // once per RUN: the robots gate (collect/aggregate the rule set) and
-    // the corpus live-host set (corpus is immutable) — not once per round
+    // once per RUN: the robots gate (collect/aggregate the COMMITTED rule
+    // set — restored on resume) and the corpus live-host set (corpus is
+    // immutable) — not once per round
+    val robots = robotsOverride.getOrElse(
+      store.read("robots_rules").as[RobotsRule])
     val gate = graft.frontier.Robots.prepare(robots, cfg)
     val hostUdf = udf((u: String) => Urls.hostOf(u))
     val corpusHosts = corpus.select(hostUdf(col("doc_id")).as("host"))
@@ -147,6 +168,12 @@ final class CrawlLoop(
     var seqBase = store.read("crawl_log").count()
     // carried from the frontier write's observed metric after round 1
     var frontierRowsNext: Option[Long] = None
+    // round-URL Bloom size hint: the schedule is politeness-bounded and
+    // FAR smaller than the frontier, so size from the PREVIOUS round's
+    // scheduled count (2× headroom; GoldenSeq caps it) — a frontier-sized
+    // hint would allocate frontier-scale partial filters per round. An
+    // under-hint only raises the prefilter FPP (never wrongness).
+    var schedHintNext: Option[Long] = None
     while (executed < rounds) {
       r += 1
       val in = RoundInputs(
@@ -158,13 +185,14 @@ final class CrawlLoop(
         corpusHosts = corpusHosts,
         robots = gate,
         hostDeaths = hostDeaths)
-      // the count doubles as termination check and URL-Bloom size hint
+      // termination check (and first-round fallback for the Bloom hint)
       val frontierRows = timed(r, "frontier_count") {
         frontierRowsNext.getOrElse(in.frontier.count())
       }
       if (frontierRows == 0) { corpusHosts.unpersist(); return executed }
       val out = timed(r, "round_plan+stats") {
-        Round.run(in, cfg, r, seqBase, seenSet, schedHint = frontierRows)
+        Round.run(in, cfg, r, seqBase, seenSet,
+          schedHint = schedHintNext.map(_ * 2).getOrElse(frontierRows))
       }
 
       val frontierObs = Observation(s"frontier-r$r")
@@ -177,6 +205,7 @@ final class CrawlLoop(
         append = Map(
           "seen" -> out.seenDelta,
           "pages" -> out.pagesDelta,
+          "pages_fts" -> out.ftsDelta,
           "links" -> out.linksDelta,
           "emails" -> out.emailsDelta,
           "btc_addresses" -> out.btcDelta,
@@ -198,15 +227,19 @@ final class CrawlLoop(
       store.commitManifest(r, entries)
 
       seqBase += out.scheduledCount
+      schedHintNext = Some(out.scheduledCount)
       frontierRowsNext = Some(frontierObs.get("rows").asInstanceOf[Long])
       if (r % cfg.compactEveryRounds == 0) {
         store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets)
         // retention delete: expire page observations past their TTL on
-        // the same cadence (the FTS index derives from pages, so the
-        // expiry propagates to search at the next index build)
-        if (cfg.pageTtlRounds != Int.MaxValue)
+        // the same cadence; the committed FTS index expires in lockstep
+        // (its `round` is the indexing round)
+        if (cfg.pageTtlRounds != Int.MaxValue) {
           store.compact(r, "pages", Seq("host", "url"), buckets = cfg.saltBuckets,
             retain = Some(col("visited_round") > r - cfg.pageTtlRounds))
+          store.compact(r, "pages_fts", Seq("term", "url"), buckets = cfg.saltBuckets,
+            retain = Some(col("round") > r - cfg.pageTtlRounds))
+        }
       }
       out.cached.foreach(release)
       executed += 1

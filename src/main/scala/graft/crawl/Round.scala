@@ -18,7 +18,7 @@ final case class ParsedPage(
     url: String, host: String, depth: Int, title: String, content_sha1: String,
     links: Seq[ExtractedLink], media_refs: Seq[String], onions: Seq[String],
     emails: Seq[String], btcs: Seq[String], ssh_fps: Seq[String],
-    ports: Seq[String])
+    ports: Seq[String], server: String, powered_by: String)
 
 final case class RoundInputs(
     frontier: DataFrame,
@@ -41,6 +41,7 @@ final case class RoundOutputs(
     seenDelta: DataFrame,
     domains: DataFrame,
     pagesDelta: DataFrame,
+    ftsDelta: DataFrame,
     linksDelta: DataFrame,
     emailsDelta: DataFrame,
     btcDelta: DataFrame,
@@ -103,8 +104,10 @@ object Round {
       round: Int,
       seqBase: Long,
       seenSet: SeenSet,
-      /** size hint for the round's URL Bloom (frontier row count is a
-        * safe upper bound); only affects prefilter FPP, never results. */
+      /** size hint for the round's URL Bloom — the previous round's
+        * scheduled count (Loop) with the frontier count as first-round
+        * fallback; GoldenSeq caps it at MaxBloomItems. Only affects
+        * prefilter FPP, never results. */
       schedHint: Long = 1 << 16)(implicit spark: SparkSession): RoundOutputs = {
     import spark.implicits._
 
@@ -180,7 +183,7 @@ object Round {
         val p = SpanExtract.parse(f.url, f.spans.getOrElse(Seq.empty))
         ParsedPage(f.url, f.host, f.depth, p.title, p.content_sha1,
           p.links, p.media_refs, p.onions, p.emails, p.btcs, p.ssh_fps,
-          p.ports)
+          p.ports, p.server, p.powered_by)
       }
       .localCheckpoint(false)
 
@@ -205,6 +208,14 @@ object Round {
         (pathUdf(col("url")) === lit("/")).as("is_frontpage"),
         lit(round).as("visited_round"), lit(null).cast("string").as("content_sha1"))
     val pagesDelta = pagesOk.unionByName(pagesMiss).unionByName(pages404)
+
+    // FTS index delta (K2): the round's fetched pages tokenized against
+    // the (Bloom-pruned, so round-sized) corpus slice — appended to the
+    // committed `pages_fts` table by the loop's combined write, exactly
+    // like the reference's per-crawl Elasticsearch index updates. Query
+    // time never re-derives the index from pages ⋈ corpus.
+    val ftsDelta = graft.analytics.Search.buildIndex(pagesOk, corpusPruned)
+      .withColumn("round", lit(round))
 
     val linksDelta = parsed
       .select(col("url").as("src_url"), col("host").as("src_host"),
@@ -326,7 +337,10 @@ object Round {
     // any HTTP response (200 or 404) counts as "host alive" observation;
     // fetched_pages counts parsed 200s only
     val titleAgg = parsed.groupBy(col("host")).agg(
-      max(when(pathUdf(col("url")) === "/", col("title"))).as("fp_title"))
+      max(when(pathUdf(col("url")) === "/", col("title"))).as("fp_title"),
+      // header facts: empty string = "not observed" (never overwrites)
+      max(when(col("server") =!= "", col("server"))).as("obs_server"),
+      max(when(col("powered_by") =!= "", col("powered_by"))).as("obs_powered_by"))
     val okHostAgg = joined.filter(col("host_alive"))
       .groupBy(col("host"))
       .agg(sum(when(col("alive"), lit(1)).otherwise(lit(0))).as("fetched_pages"))
@@ -359,8 +373,8 @@ object Round {
         when(col("fetched_pages").isNotNull, lit(0))
           .otherwise(coalesce(col("dead_now"), col("dead_in_a_row"), lit(0))).as("dead_in_a_row"),
         coalesce(col("fp_title"), col("title"), lit("")).as("title"),
-        coalesce(col("server"), lit("")).as("server"),
-        coalesce(col("powered_by"), lit("")).as("powered_by"),
+        coalesce(col("obs_server"), col("server"), lit("")).as("server"),
+        coalesce(col("obs_powered_by"), col("powered_by"), lit("")).as("powered_by"),
         (coalesce(col("is_crap"), lit(false)) ||
           coalesce(col("is_bomb_base"), lit(false))).as("is_crap"),
         lit(false).as("is_fake"),
@@ -413,6 +427,7 @@ object Round {
       seenDelta = seenDelta,
       domains = domainsNext,
       pagesDelta = pagesDelta,
+      ftsDelta = ftsDelta,
       linksDelta = linksDelta,
       emailsDelta = emailsDelta,
       btcDelta = btcDelta,

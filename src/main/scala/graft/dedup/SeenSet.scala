@@ -40,32 +40,43 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
   // identical (expectedItems, numBits) sizing everywhere (persistent
   // filter, per-round delta — whether via stat.bloomFilter or the
   // observed bloom_filter_agg — and rebuild): sketch mergeInPlace
-  // requires the exact same bit width and hash count.
-  private[dedup] val numBits: Long =
-    graft.functions.SketchExpressions.optimalNumOfBits(
+  // requires the exact same bit width and hash count. Sizing goes through
+  // clampedSizing so it matches what the NATIVE aggregate will build under
+  // the session's runtime-Bloom limits (the aggregate silently Math.min's
+  // against them — an unclamped driver-side create() here could never
+  // merge an aggregate delta). CrawlLoop raises those confs from the
+  // CrawlConfig so a deliberately large filter is honored, not clamped.
+  private[dedup] val (expectedItems: Long, numBits: Long) =
+    graft.functions.SketchExpressions.clampedSizing(
       cfg.bloomExpectedItems, cfg.bloomFpp)
 
   private var bloom: BloomFilter = null
 
-  /** true iff a checkpointed filter valid for `latestSnapshot` was found. */
+  /** true iff a checkpointed filter valid for `latestSnapshot` AND the
+    * current sizing was found (a sidecar written under different conf/cfg
+    * sizing cannot merge with this run's deltas — treated as stale).
+    */
   val loadedFromCheckpoint: Boolean = readSidecar() match {
-    case Some((tag, bf)) =>
+    case Some((tag, items, bits, bf)) =>
       val latest = latestSnapshot.getOrElse(-1)
       // tag == latest: clean. tag == latest + 1: crash between sidecar
       // write and manifest flip — ahead-by-one, FP-safe (see scaladoc).
-      if (tag == latest || tag == latest + 1) { bloom = bf; true } else false
+      val tagOk = tag == latest || tag == latest + 1
+      if (tagOk && items == expectedItems && bits == numBits) {
+        bloom = bf; true
+      } else false
     case None => false
   }
 
-  if (bloom == null) bloom = BloomFilter.create(cfg.bloomExpectedItems, numBits)
+  if (bloom == null) bloom = BloomFilter.create(expectedItems, numBits)
 
-  private def readSidecar(): Option[(Int, BloomFilter)] = {
+  private def readSidecar(): Option[(Int, Long, Long, BloomFilter)] = {
     if (!Files.exists(bloomPath)) return None
     val in = new DataInputStream(Files.newInputStream(bloomPath))
     try {
       val magic = in.readInt()
       if (magic != SeenSet.Magic) None
-      else Some((in.readInt(), BloomFilter.readFrom(in)))
+      else Some((in.readInt(), in.readLong(), in.readLong(), BloomFilter.readFrom(in)))
     } catch { case _: java.io.IOException => None } finally in.close()
   }
 
@@ -76,7 +87,7 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
     */
   def rebuildFrom(seen: DataFrame): Unit = {
     if (seen.isEmpty) return
-    bloom = seen.stat.bloomFilter("fingerprint", cfg.bloomExpectedItems, numBits)
+    bloom = seen.stat.bloomFilter("fingerprint", expectedItems, numBits)
   }
 
   /** Merge a round's new fingerprints into the persistent filter and
@@ -91,26 +102,39 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
     * at bench scale, over spark.driver.maxResultSize.) Callers that
     * already know the delta row count (observed metric) pass it to skip
     * the empty-delta probe job.
+    *
+    * An EMPTY delta still rewrites the sidecar under the new tag (no
+    * Spark job, no merge): returning early would leave the tag one
+    * snapshot behind after the manifest flips, forcing the next resume
+    * into the full 10^10-row `rebuildFrom` scan the sidecar exists to
+    * avoid.
     */
   def update(seenDelta: DataFrame, snap: Int, knownCount: Long = -1L): Unit = {
-    if (knownCount == 0L || (knownCount < 0L && seenDelta.isEmpty)) return
+    if (knownCount == 0L || (knownCount < 0L && seenDelta.isEmpty)) {
+      writeSidecar(snap)
+      return
+    }
     val bytes = seenDelta
       .coalesce(8) // bounds partial-filter count; narrow on the cache
       .select(graft.functions.SketchExpressions.bloom_agg(
         col("fingerprint"), cfg.bloomExpectedItems, cfg.bloomFpp).as("bf"))
       .head.getAs[Array[Byte]]("bf")
-    if (bytes != null)
-      mergeBloom(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)), snap)
+    if (bytes != null) {
+      bloom.mergeInPlace(
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+    }
+    writeSidecar(snap)
   }
 
-  private def mergeBloom(delta: BloomFilter, snap: Int): Unit = {
-    bloom.mergeInPlace(delta)
+  private def writeSidecar(snap: Int): Unit = {
     Files.createDirectories(bloomPath.getParent)
     val tmp = bloomPath.resolveSibling("seen.bloom.tmp")
     val out = new DataOutputStream(Files.newOutputStream(tmp))
     try {
       out.writeInt(SeenSet.Magic)
       out.writeInt(snap)
+      out.writeLong(expectedItems)
+      out.writeLong(numBits)
       bloom.writeTo(out)
     } finally out.close()
     Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
@@ -131,6 +155,9 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
 }
 
 object SeenSet {
-  /** sidecar header magic ("GSB1" — graft seen bloom v1). */
-  private[dedup] val Magic: Int = 0x47534231
+  /** sidecar header magic ("GSB2" — graft seen bloom v2: records the
+    * (items, bits) sizing so resume detects conf/cfg drift; a v1 sidecar
+    * simply fails the magic check and triggers a rebuild).
+    */
+  private[dedup] val Magic: Int = 0x47534232
 }

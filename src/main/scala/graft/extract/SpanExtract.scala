@@ -21,7 +21,9 @@ final case class Parsed(
     emails: Seq[String],
     btcs: Seq[String],
     ssh_fps: Seq[String],
-    ports: Seq[String])
+    ports: Seq[String],
+    server: String,
+    powered_by: String)
 
 /** Pure per-document parser (SURVEY.md §3.10 U5) — regex + RFC 3986
   * resolution is genuinely imperative, so it runs as ONE typed flatMap
@@ -39,6 +41,12 @@ object SpanExtract {
     */
   val SshFpRx = """SHA256:[A-Za-z0-9]{43}""".r
   val PortRx = """\b(\d{1,5})/tcp open""".r
+  /** Response-header facts out of kind="header" spans (reference keeps
+    * Server / X-Powered-By per domain). Header spans are excluded from
+    * the body text, so they never perturb content hashes or the FTS body.
+    */
+  val ServerRx = """(?im)^server:\s*(\S[^\r\n]*)""".r
+  val PoweredByRx = """(?im)^x-powered-by:\s*(\S[^\r\n]*)""".r
 
   // ---- anchored linear scanners -------------------------------------
   // java.util.regex find() restarts the backtracking engine at every
@@ -153,7 +161,9 @@ object SpanExtract {
     val sorted = ordered(spans)
     val texts = sorted.collect { case s if s.kind == "text" && s.text != null => s.text }
     val media = sorted.collect { case s if s.kind == "media" && s.media_ref != null => s.media_ref }
+    val headers = sorted.collect { case s if s.kind == "header" && s.text != null => s.text }
     val joined = texts.mkString("\n")
+    val headerText = headers.mkString("\n")
 
     val title = TitleRxPub.findFirstMatchIn(joined)
       .map(m => m.group(1).trim.take(255)).getOrElse("")
@@ -189,7 +199,11 @@ object SpanExtract {
       emails = emails,
       btcs = btcs,
       ssh_fps = sshFps,
-      ports = ports)
+      ports = ports,
+      server = ServerRx.findFirstMatchIn(headerText)
+        .map(_.group(1).trim.take(255)).getOrElse(""),
+      powered_by = PoweredByRx.findFirstMatchIn(headerText)
+        .map(_.group(1).trim.take(255)).getOrElse(""))
   }
 
   private def distinctInOrder(xs: Seq[String]): Seq[String] = {

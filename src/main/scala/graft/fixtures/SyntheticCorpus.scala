@@ -128,6 +128,20 @@ object SyntheticCorpus {
       (if (src % 4 == 1) Seq(8080) else Nil)
   }
 
+  private val Servers =
+    Vector("nginx/1.14.2", "Apache/2.4.38", "Caddy", "lighttpd/1.4.53")
+  private val PoweredBys = Vector("PHP/7.3.4", "Express", "Django/2.2", "")
+
+  /** Response-header facts (the reference records Server / X-Powered-By
+    * per domain). Keyed on the OWN host — a mirror on different
+    * infrastructure can run a different stack, and header spans are
+    * kind="header" so they never enter the body content hash.
+    */
+  def serverOf(i: Long): String =
+    Servers((Hashing.nonNeg(Hashing.mix(i * 53 + 3)) % Servers.length).toInt)
+  def poweredByOf(i: Long): String =
+    PoweredBys((Hashing.nonNeg(Hashing.mix(i * 59 + 5)) % PoweredBys.length).toInt)
+
   /** Subdomain-bomb host (F6 positive case): its p1 page links to
     * `BombSubdomains` subdomains of its own base — more than the default
     * `crapSubdomainLimit`, so the engine must mark the base crap and never
@@ -154,6 +168,13 @@ object SyntheticCorpus {
     var off = 0
     def text(t: String): Unit = { b += Span("text", t, null, off); off += 1 }
     def media(r: String): Unit = { b += Span("media", null, r, off); off += 1 }
+    def header(t: String): Unit = { b += Span("header", t, null, off); off += 1 }
+
+    // response headers first, like the wire: kind="header" keeps them out
+    // of the body content hash (clone detection) and the FTS index
+    val pb = poweredByOf(i)
+    header(s"Server: ${serverOf(i)}" +
+      (if (pb.nonEmpty) s"\nX-Powered-By: $pb" else ""))
 
     text(s"<title>${titleOf(i, p)}</title> ${fillerText(Hashing.mix(src * 7 + p), 8)}")
 

@@ -85,6 +85,22 @@ object Robots {
     if (rules.count() <= maxBroadcastRules) prepareBroadcastMap(rules, cfg)
     else prepareJoin(rules, cfg)
 
+  /** Duplicate identical (host, path_prefix) rules would otherwise be
+    * tie-broken differently by the two paths' sort keys (map: prefix asc;
+    * join: prefix desc within equal length — harmless across DISTINCT
+    * prefixes, since equal-length distinct prefixes can never both match
+    * one path, but semantics-breaking for true duplicates). Resolve them
+    * BEFORE either path with one deterministic rule — most restrictive
+    * wins: allow = AND of duplicates, crawl_delay = max.
+    */
+  private def dedupPerPrefix(rules: Dataset[RobotsRule]): Dataset[RobotsRule] = {
+    import rules.sparkSession.implicits._
+    rules.toDF()
+      .groupBy(col("host"), col("path_prefix"))
+      .agg(min(col("allow")).as("allow"), max(col("crawl_delay")).as("crawl_delay"))
+      .as[RobotsRule]
+  }
+
   /** Small path: host -> rules sorted by (prefix length desc, prefix asc). */
   def prepareBroadcastMap(
       rules: Dataset[RobotsRule],
@@ -93,8 +109,11 @@ object Robots {
       rules.collect()
         .groupBy(_.host)
         .map { case (h, rs) =>
-          h -> rs.map(r => (r.path_prefix, r.allow, r.crawl_delay))
-            .sortBy { case (p, _, _) => (-p.length, p) }
+          h -> rs.groupBy(_.path_prefix).map { case (p, dups) =>
+            // same winner as dedupPerPrefix, resolved driver-side (no
+            // extra Spark job on the already-collected small rule set)
+            (p, dups.forall(_.allow), dups.map(_.crawl_delay).max)
+          }.toArray.sortBy { case (p, _, _) => (-p.length, p) }
         }
     BroadcastMapGate(spark.sparkContext.broadcast(byHost), cfg.defaultCrawlDelaySec)
   }
@@ -106,7 +125,7 @@ object Robots {
   def prepareJoin(
       rules: Dataset[RobotsRule],
       cfg: CrawlConfig)(implicit spark: SparkSession): RobotsGate = {
-    val perHost = rules.toDF()
+    val perHost = dedupPerPrefix(rules).toDF()
       .groupBy(col("host"))
       .agg(reverse(array_sort(collect_list(struct(
         length(col("path_prefix")).as("len"),

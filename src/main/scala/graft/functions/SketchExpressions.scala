@@ -28,6 +28,35 @@ object SketchExpressions {
     64L,
     (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
+  /** The session's runtime-Bloom limits. `BloomFilterAggregate` SILENTLY
+    * clamps `estimatedNumItems`/`numBits` to these confs (verified against
+    * the shipped spark-catalyst 4.1.2 bytecode: `Math.min` in the lazy
+    * vals, and `stat.bloomFilter` routes through the same aggregate), so
+    * a driver-side `BloomFilter.create` sized above them can NEVER merge
+    * with an aggregate-built delta — `mergeInPlace` hard-fails on the bit
+    * width. Every engine filter therefore sizes through [[clampedSizing]],
+    * and callers that genuinely need bigger filters raise these confs
+    * first (CrawlLoop does, from CrawlConfig).
+    */
+  def bloomConfMax: (Long, Long) = {
+    val conf = SparkSession.active.conf
+    def get(k: String, dflt: Long): Long =
+      try conf.get(k).toLong catch { case _: Exception => dflt }
+    (get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L),
+      get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
+  }
+
+  /** (items, numBits) EXACTLY as the native aggregate will size them under
+    * the current session confs — the one sizing formula the whole engine
+    * shares. A clamp only raises FPP, which every Bloom use in the engine
+    * tolerates by design (prefilter + exact authority).
+    */
+  def clampedSizing(expectedItems: Long, fpp: Double): (Long, Long) = {
+    val (maxItems, maxBits) = bloomConfMax
+    val items = math.min(math.max(1L, expectedItems), maxItems)
+    (items, math.min(optimalNumOfBits(items, fpp), maxBits))
+  }
+
   @volatile private var registeredIn: SparkSession = _
 
   def register(spark: SparkSession): Unit = {
@@ -45,13 +74,16 @@ object SketchExpressions {
   }
 
   /** Bloom aggregate over a string/long column, sized like
-    * `BloomFilter.create(expectedItems, fpp)`. Returns the serialized
-    * filter (binary) — `readSketch` turns it back into a sketch object.
+    * `BloomFilter.create(expectedItems, fpp)` after [[clampedSizing]] —
+    * the literals are pre-clamped so the aggregate's internal `Math.min`
+    * no-ops and driver-side `BloomFilter.create(items, bits)` twins stay
+    * bit-compatible for `mergeInPlace`. Returns the serialized filter
+    * (binary) — `readSketch` turns it back into a sketch object.
     */
   def bloom_agg(c: Column, expectedItems: Long, fpp: Double): Column = {
     ensure()
-    call_function("graft_bloom_agg", c,
-      lit(math.max(1L, expectedItems)), lit(optimalNumOfBits(expectedItems, fpp)))
+    val (items, bits) = clampedSizing(expectedItems, fpp)
+    call_function("graft_bloom_agg", c, lit(items), lit(bits))
   }
 
   /** Map-side Bloom membership probe against a (foldable) serialized

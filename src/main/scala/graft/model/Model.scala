@@ -66,6 +66,17 @@ final case class RobotsRule(
     allow: Boolean,
     crawl_delay: Double)
 
+/** Committed inverted FTS index row (SURVEY.md §3.1 K2): maintained
+  * incrementally on the crawl cadence like the reference's Elasticsearch
+  * index; `round` drives TTL expiry alongside `pages`.
+  */
+final case class FtsRow(
+    term: String,
+    url: String,
+    host: String,
+    in_title: Boolean,
+    round: Int)
+
 /** The golden crawl-order output — first-class table (SURVEY.md §3.1 K5). */
 final case class CrawlLogEntry(
     seq: Long,
@@ -105,10 +116,17 @@ final case class CrawlConfig(
       * compaction (Int.MaxValue = keep forever). */
     pageTtlRounds: Int = Int.MaxValue) {
 
-  /** budget(host) = max(1, floor(roundWindow / crawlDelay(host))). */
-  def budget(crawlDelay: Double): Int = {
+  /** budget(host) = min(max(1, floor(roundWindow / crawlDelay(host))),
+    * floor(roundWindow / minDelaySec)) — the upper clamp mirrors
+    * Politeness.schedule exactly: the two-phase top-k is only exact when
+    * phase 1 keeps ≥ budget rows per host, so a robots-supplied
+    * crawl_delay below `minDelaySec` must not push the budget past the
+    * phase-1 cap (the effective floor on delay is minDelaySec).
+    */
+  def budget(crawlDelay: Double, minDelaySec: Double = 1.0): Int = {
+    val cap = math.max(1, math.floor(roundWindowSec / minDelaySec).toInt)
     val d = if (crawlDelay > 0) crawlDelay else defaultCrawlDelaySec
-    math.max(1, math.floor(roundWindowSec / d).toInt)
+    math.min(math.max(1, math.floor(roundWindowSec / d).toInt), cap)
   }
 }
 

@@ -35,10 +35,10 @@ object CrawlQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft-crawl-fixture").toString
       val st = new SnapshotStore(dir, spark)
       val loop = new CrawlLoop(st, Cfg)(spark)
-      loop.init(SyntheticCorpus.seedsLocal(NHosts, 8))
+      loop.init(SyntheticCorpus.seedsLocal(NHosts, 8),
+        SyntheticCorpus.robotsLocal(NHosts).toDS())
       loop.run(
         SyntheticCorpus.docsLocal(NHosts).toDS().toDF(),
-        SyntheticCorpus.robotsLocal(NHosts).toDS(),
         SyntheticCorpus.hostDeathsLocal(NHosts).toDF("host", "dead_from_round"),
         Rounds)
       cachedStore = Some(st)
@@ -60,7 +60,7 @@ object CrawlQueries {
       store(s).read("domains")
         .select("host", "is_up", "dead_in_a_row", "first_seen_round",
           "last_visited_round", "last_alive_round", "is_fake", "genuine_host",
-          "pages_crawled")
+          "pages_crawled", "server", "powered_by")
         .orderBy("host")),
 
     // exact URL-seen set
@@ -72,12 +72,11 @@ object CrawlQueries {
       Lookups.linkDegrees(store(s).read("links"))
         .orderBy(col("in_degree").desc, col("host").asc).limit(20)),
 
-    // full-text search (F7): tokenized index + multi-match query
-    "crawl05_search" -> ((s, _) => {
-      val st = store(s)
-      val idx = Search.buildIndex(st.read("pages"), corpus(s))
-      Search.query(idx, "hidden market directory", page = 0, pageSize = 10)
-    }),
+    // full-text search: multi-match query over the COMMITTED pages_fts
+    // index (K2 — maintained incrementally by the loop, not rebuilt here)
+    "crawl05_search" -> ((s, _) =>
+      Search.query(store(s).read("pages_fts"),
+        "hidden market directory", page = 0, pageSize = 10)),
 
     // inverted lookup: top emails by distinct host count (J7)
     "crawl06_top_emails" -> ((s, _) =>
@@ -108,6 +107,14 @@ object CrawlQueries {
       Lookups.sharedInfrastructure(st.read("ssh_fps"), st.read("domains"))
         .orderBy("ssh_fp", "host")
     }),
+
+    // portscan listing per host (the reference's port-scan page): every
+    // open port observed for the host, latest observation round
+    "crawl12_ports" -> ((s, _) =>
+      store(s).read("open_ports")
+        .groupBy(col("host"), col("value").cast("int").as("port"))
+        .agg(max(col("round")).as("last_seen_round"))
+        .orderBy(col("host"), col("port"))),
 
     // SQL entry point over registered snapshot views + JSON projection
     // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)

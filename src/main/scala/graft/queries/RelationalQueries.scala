@@ -123,18 +123,23 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // O3/O4/O5: set ops — one-row summary of union/except/intersect sizes
+    // O3/O4/O5: set ops — one-row summary of union/except/intersect sizes.
+    // ONE distributed pass, no driver actions: both sides are key-unique
+    // (c_custkey is the PK; active is distinct), so a full-outer join
+    // tagged with membership flags yields one row per union member and
+    // the three counts fall out of a single aggregation.
     "q10_set_ops" -> ((s, d) => {
       val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000)
-        .select(col("c_custkey"))
-      val active = t(s, d, "orders").select(col("o_custkey").as("c_custkey")).distinct()
-      val spark = s
-      import spark.implicits._
-      Seq((
-        rich.union(active).distinct().count(),
-        rich.except(active).count(),
-        rich.intersect(active).count()))
-        .toDF("union_cnt", "except_cnt", "intersect_cnt")
+        .select(col("c_custkey")).withColumn("in_rich", lit(true))
+      val active = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+        .distinct().withColumn("in_active", lit(true))
+      rich.join(active, Seq("c_custkey"), "full_outer")
+        .agg(
+          count(lit(1)).as("union_cnt"),
+          sum(when(col("in_rich").isNotNull && col("in_active").isNull, 1L)
+            .otherwise(0L)).as("except_cnt"),
+          sum(when(col("in_rich").isNotNull && col("in_active").isNotNull, 1L)
+            .otherwise(0L)).as("intersect_cnt"))
     }),
 
     // A5: group-having

@@ -36,8 +36,8 @@ class CrawlSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     val store = new SnapshotStore(dir, spark)
     val loop = new CrawlLoop(store, c)
-    loop.init(seeds)
-    loop.run(corpusDF, robotsDS, deathsDF, rounds)
+    loop.init(seeds, robotsDS)
+    loop.run(corpusDF, deathsDF, rounds)
     store
   }
 
@@ -220,20 +220,73 @@ class CrawlSpec extends AnyFunSuite {
     assert(p0.size <= 5 && p1.size <= 5)
   }
 
-  test("RESUME: 3 rounds + stop + resume 3 ≡ straight 6 rounds") {
+  test("RESUME: 3 rounds + stop + resume 3 ≡ straight 6 rounds (politeness rules restored from the snapshot, not re-supplied)") {
     val dir = Files.createTempDirectory("crawl-resume").toString
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val store = new SnapshotStore(dir, spark)
     val loop1 = new CrawlLoop(store, cfg)
-    loop1.init(seeds)
-    loop1.run(corpusDF, robotsDS, deathsDF, 3)
-    // fresh loop instance = process restart; state only via snapshots
+    loop1.init(seeds, robotsDS)
+    loop1.run(corpusDF, deathsDF, 3)
+    // fresh loop instance = process restart; state only via snapshots —
+    // INCLUDING robots_rules: the resumed run passes no override, so any
+    // gap in the committed rule set would diverge from mainStore here
     val store2 = new SnapshotStore(dir, spark)
-    new CrawlLoop(store2, cfg).run(corpusDF, robotsDS, deathsDF, 3)
+    new CrawlLoop(store2, cfg).run(corpusDF, deathsDF, 3)
     assert(logSeq(store2) == logSeq(mainStore))
     assert(seenFps(store2) == seenFps(mainStore))
     val d1 = mainStore.read("domains").orderBy("host").collect().toSeq
     val d2 = store2.read("domains").orderBy("host").collect().toSeq
     assert(d1 == d2)
+    // the committed rules ARE the supplied rules
+    val committedRules = store2.read("robots_rules")
+      .as[RobotsRule].collect().toSet
+    assert(committedRules == SyntheticCorpus.robotsLocal(nHosts).toSet)
+  }
+
+  test("pages_fts is a COMMITTED table maintained per round; committed-index search ≡ fresh full rebuild") {
+    assert(mainStore.tablesAt(6).contains("pages_fts"),
+      "pages_fts missing from the snapshot manifest")
+    val committed = mainStore.read("pages_fts")
+    assert(committed.count() > 0)
+    // index rows only exist for rounds that fetched pages
+    assert(committed.select("round").distinct().count() >= 1)
+    val q = "hidden market directory"
+    val fromCommitted = graft.analytics.Search.query(committed, q, 0, 10)
+      .collect().toSeq
+    val fresh = graft.analytics.Search.query(
+      graft.analytics.Search.buildIndex(mainStore.read("pages"), corpusDF), q, 0, 10)
+      .collect().toSeq
+    assert(fromCommitted == fresh,
+      "committed-index search drifted from the full rebuild")
+  }
+
+  test("retention TTL expires pages_fts rows in lockstep with pages") {
+    val store = runCrawl(rounds = 6, partitions = 4,
+      c = cfg.copy(pageTtlRounds = 2, compactEveryRounds = 2))
+    val fts = store.read("pages_fts")
+    val maxRound = fts.agg(max("round")).as[Int].collect()(0)
+    assert(fts.filter(col("round") <= maxRound - 2).count() == 0,
+      "expired fts rows survived the TTL rewrite")
+    assert(fts.count() > 0)
+    // search still works over the TTL'd index and only sees live docs
+    val hits = graft.analytics.Search.query(fts, "hidden market directory", 0, 10)
+    val liveUrls = store.read("pages").select("url").as[String].collect().toSet
+    hits.select("url").as[String].collect().foreach(u =>
+      assert(liveUrls.contains(u), s"search returned TTL-expired doc $u"))
+  }
+
+  test("server / powered_by header facts populate the domains table") {
+    val d = mainStore.read("domains")
+      .filter(col("pages_crawled") > 0 && col("is_up"))
+    assert(d.count() > 0)
+    val withServer = d.filter(col("server") =!= "").count()
+    assert(withServer == d.count(),
+      "a crawled-alive host is missing its Server header fact")
+    // fixture hosts with a non-empty X-Powered-By must surface it
+    val h0 = SyntheticCorpus.hostName(0)
+    val expect = SyntheticCorpus.serverOf(0)
+    val got = mainStore.read("domains").filter(col("host") === h0)
+      .select("server").as[String].collect()
+    assert(got.length == 1 && got(0) == expect, s"host0 server=$got expect=$expect")
   }
 }

@@ -25,7 +25,8 @@ class SpanInvariantSpec extends AnyFunSuite {
       val offs = d.spans.map(_.offset)
       assert(offs == offs.sorted && offs.distinct == offs, s"offsets broken in ${d.doc_id}")
       d.spans.foreach { s =>
-        if (s.kind == "text") assert(s.text != null && s.media_ref == null)
+        if (s.kind == "text" || s.kind == "header")
+          assert(s.text != null && s.media_ref == null)
         else { assert(s.kind == "media" && s.media_ref != null && s.text == null) }
       }
     }
