@@ -79,8 +79,10 @@ object Bench {
           if (wall > 2.0) {
             val run = si.taskMetrics.executorRunTime / 1e3
             val cpu = si.taskMetrics.executorCpuTime / 1e9
+            val rdds = si.rddInfos.map(r => s"${r.name}@${r.callSite.take(40)}")
+              .take(4).mkString(" <- ")
             println(f"[stage] ${si.stageId}%4d wall=$wall%6.1fs tasks=${si.numTasks}%4d " +
-              f"runSum=$run%7.1fs cpuSum=$cpu%7.1fs par=${run / math.max(wall, 0.01)}%4.1f  ${si.name.take(60)}")
+              f"runSum=$run%7.1fs cpuSum=$cpu%7.1fs par=${run / math.max(wall, 0.01)}%4.1f  ${si.name.take(60)}%s rdds=$rdds%s")
           }
         }
       })
@@ -130,9 +132,18 @@ object Bench {
     val warmRounds = sys.env.getOrElse("GRAFT_BENCH_WARM_ROUNDS", "1").toInt
     if (warmRounds > 0) loop.run(corpus, deaths, warmRounds)
     val processedBefore = processedSoFar()
+    // process CPU across the timed section: utilization = cpu/wall/cores
+    // distinguishes idle-threads (barriers) from work inflation when
+    // reading the scaling ladder
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+    val cpuBefore = procCpuSec()
     val crawlSec = time {
       loop.run(corpus, deaths, benchRounds)
     }
+    val crawlCpuSec = procCpuSec() - cpuBefore
     val processed = processedSoFar() - processedBefore
     val urlsPerSec = processed / crawlSec
 
@@ -140,7 +151,7 @@ object Bench {
     val qJson = (qtimes :+ ("crawl_frontier" -> crawlSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"}}}"""
+      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"},"cpu_seconds":${f"$crawlCpuSec%.1f"},"cpu_util":${f"${crawlCpuSec / crawlSec / cpus.toDouble}%.2f"}}}"""
     println(json)
     // also persist the line: sbt wraps stdout in [info]/[error] noise and
     // the harness's stdout parse has been lost to it before

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** `array_distinct(filter(split(lower(text), "\\W+"), length > 1))`,
+    * executed by the native single-scan [[graft.functions.FastTerms]]
+    * expression (equivalence property-tested in FastScanSpec).
+    */
   def tokenize(text: Column): Column =
-    array_distinct(filter(split(lower(text), "\\W+"), t => length(t) > 1))
+    graft.functions.TextExpressions.fast_terms(text)
 
   /** RAW index postings over crawled pages + their corpus text:
     * (term, url, host, in_title) — NOT deduplicated. The crawl loop calls

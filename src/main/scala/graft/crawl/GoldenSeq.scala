@@ -1,16 +1,15 @@
 package graft.crawl
 
-import graft.functions.SketchExpressions
+import graft.dedup.FastBloom
 import graft.model.CrawlLogEntry
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 /** Per-range-partition facts of one round's schedule: row counts (the
   * sequence offsets), their total, and a Bloom over the scheduled URLs
   * (the corpus-fetch prefilter).
   */
-final case class SchedStats(counts: Map[Int, Long], total: Long, urlBloom: BloomFilter)
+final case class SchedStats(counts: Map[Int, Long], total: Long, urlBloom: FastBloom)
 
 /** Scale-safe golden crawl-log sequencing (SURVEY.md §6.1 O1 / §3.1 K5).
   *
@@ -57,18 +56,21 @@ object GoldenSeq {
     */
   val MaxBloomItems: Long = 1L << 22
 
-  private val statsSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** seqOp accumulator: per-range counts + the partial URL Bloom. */
+  private final class StatsAcc(val counts: Array[Long], val bloom: FastBloom)
+    extends Serializable
 
-  /** ONE job over the cached range-partitioned schedule computing all
+  /** ONE RDD job over the cached range-partitioned schedule computing all
     * per-round driver facts that previously cost three: per-partition
-    * counts (offsets, ridden as OBSERVED metrics — a handful of longs per
-    * task), the total (`scheduledCount`, seqBase advance), and the URL
-    * Bloom that prunes the fat corpus side of the fetch join map-side.
-    * The Bloom is a GLOBAL two-stage aggregate: partial filters merge
-    * executor-side through the shuffle and exactly ONE ≤5 MB filter
-    * reaches the driver — per-range full-size partials collected to the
-    * driver (the previous shape) are multi-GB at a multi-million-row
-    * schedule with hundreds of partitions.
+    * counts (offsets), the total (`scheduledCount`, seqBase advance), and
+    * the URL Bloom that prunes the fat corpus side of the fetch join
+    * map-side. Partials merge EXECUTOR-SIDE via `treeAggregate(depth=2)`:
+    * exactly ONE ≤5 MB filter reaches the driver, and the merge is
+    * FastBloom's bulk word-OR — per-range full-size partials collected to
+    * the driver (the original shape) are multi-GB at a multi-million-row
+    * schedule with hundreds of partitions, and the native sketch
+    * aggregate's single-task stream-deserializing merge profiled at
+    * multi-second serial cost per round.
     *
     * `bloomItems` is a size HINT (previous round's schedule size, capped
     * at [[MaxBloomItems]]); a low hint only raises the prefilter's FPP —
@@ -78,20 +80,32 @@ object GoldenSeq {
   def stats(scheduled: DataFrame, bloomItems: Long, bloomFpp: Double = 0.01): SchedStats = {
     val nParts = scheduled.rdd.getNumPartitions
     val items = math.min(math.max(1024L, bloomItems), MaxBloomItems)
-    val obs = Observation(s"sched-stats-${statsSeq.incrementAndGet()}")
-    val cntCols = (0 until nParts).map(i =>
-      sum(when(col("_pid") === i, 1L).otherwise(0L)).as(s"c$i"))
-    val bytes = scheduled
-      .observe(obs, cntCols.head, cntCols.tail: _*)
-      .select(SketchExpressions.bloom_agg(col("url"), items, bloomFpp).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    val metrics = obs.get
-    val counts = (0 until nParts).flatMap { i =>
-      Option(metrics(s"c$i")).map(_.asInstanceOf[Long]).filter(_ > 0).map(i -> _)
-    }.toMap
+    val rows = scheduled.select(col("_pid"), col("url")).queryExecution.toRdd
+    val agg = rows.treeAggregate(null.asInstanceOf[StatsAcc])(
+      (acc0, r) => {
+        val acc = if (acc0 == null)
+          new StatsAcc(new Array[Long](nParts), FastBloom.create(items, bloomFpp))
+        else acc0
+        acc.counts(r.getInt(0)) += 1
+        if (!r.isNullAt(1)) acc.bloom.put(r.getUTF8String(1).getBytes)
+        acc
+      },
+      (a, b) =>
+        if (a == null) b
+        else if (b == null) a
+        else {
+          var i = 0
+          while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+          a.bloom.orInPlace(b.bloom)
+          a
+        },
+      depth = 2)
+    val counts =
+      if (agg == null) Map.empty[Int, Long]
+      else agg.counts.zipWithIndex.collect { case (n, i) if n > 0 => i -> n }.toMap
     val bloom =
-      if (bytes == null) BloomFilter.create(1) // empty schedule: matches nothing
-      else SketchExpressions.readSketch(bytes)
+      if (agg == null) FastBloom.create(1, bloomFpp) // empty: matches nothing
+      else agg.bloom
     SchedStats(counts, counts.valuesIterator.sum, bloom)
   }
 

@@ -106,14 +106,9 @@ final class CrawlLoop(
     // plan-description rendering is eager per action (for the SQL
     // listener event, UI or not) and the round DAG's nested cached plans
     // render exponentially — cap it for the loop's duration too
-    // honor CrawlConfig's seen-filter sizing: the native Bloom aggregate
-    // silently clamps to these confs (see SketchExpressions.bloomConfMax),
-    // so raise them to the configured filter's size for the loop's
-    // duration — otherwise a >4M-item seen set runs at a degraded FPP
-    // without anyone asking for it
-    val (curMaxItems, curMaxBits) = graft.functions.SketchExpressions.bloomConfMax
-    val wantBits = graft.functions.SketchExpressions.optimalNumOfBits(
-      cfg.bloomExpectedItems, cfg.bloomFpp)
+    // (engine Bloom filters are FastBloom — sized purely by CrawlConfig,
+    // independent of the runtime-bloom-filter confs that silently clamp
+    // the native aggregate; see SketchExpressions.bloomConfMax.)
     val saved = Seq(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.maxPlanStringLength" -> "2048",
@@ -121,11 +116,7 @@ final class CrawlLoop(
       // a broadcast whose subtree first-touches a lazy checkpoint can
       // materialize the whole upstream inside the broadcast thread's
       // budget — at low parallelism that exceeds the 300s default
-      "spark.sql.broadcastTimeout" -> "3600",
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
-        math.max(curMaxItems, cfg.bloomExpectedItems).toString,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
-        math.max(curMaxBits, wantBits).toString
+      "spark.sql.broadcastTimeout" -> "3600"
     ).map { case (k, v) =>
       val prev = try Some(spark.conf.get(k)) catch { case _: Exception => None }
       spark.conf.set(k, v)
@@ -203,7 +194,8 @@ final class CrawlLoop(
             count(lit(1L)).as("rows")),
           "domains" -> out.domains),
         append = Map(
-          "seen" -> out.seenDelta,
+          // observed count skips the empty-delta probe of the Bloom update
+          "seen" -> out.seenDelta.observe(seenObs, count(lit(1L)).as("cnt")),
           "pages" -> out.pagesDelta,
           "pages_fts" -> out.ftsDelta,
           "links" -> out.linksDelta,
@@ -213,9 +205,7 @@ final class CrawlLoop(
           "open_ports" -> out.portsDelta,
           "crawl_log" -> out.crawlLogDelta,
           "metrics" -> out.metricsDelta),
-        // observed count skips the empty-delta probe of the Bloom update
-        observeAppends = Some((seenObs, Seq(
-          count(when(col("_t") === "seen", 1L)).as("cnt")))))
+        rowHeavy = SnapshotStore.RowHeavyTables)
       // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
       // bloom-behind is not (see SeenSet crash-consistency scaladoc).
       // The delta Bloom is ONE cheap job over the cached delta (see

@@ -111,11 +111,18 @@ object Round {
       schedHint: Long = 1 << 16)(implicit spark: SparkSession): RoundOutputs = {
     import spark.implicits._
 
-    // ---- 1. eligibility: drop retired (dead_in_a_row >= R) + crap hosts
+    // ---- 1. eligibility: drop retired (dead_in_a_row >= R) + crap hosts.
+    // domains/corpusHosts-scale sides carry SHUFFLE_HASH hints throughout
+    // the round: they grow with the crawl (too big to broadcast at 100×,
+    // where the planner would shuffle anyway), and in local mode the
+    // planner's file-size-based broadcast choice costs a 5-9s
+    // SINGLE-THREADED hash-relation build per join per round (profiled) —
+    // a per-round serial tail that caps multi-core scaling. A shuffled
+    // hash join builds per-partition maps in parallel instead.
     val dinfo = in.domains.select(
       col("host"), col("dead_in_a_row"), col("is_crap"), col("pages_crawled"))
     val eligible = in.frontier
-      .join(dinfo, Seq("host"), "left")
+      .join(dinfo.hint("shuffle_hash"), Seq("host"), "left")
       .filter(coalesce(col("is_crap"), lit(false)) === false)
       .filter(coalesce(col("dead_in_a_row"), lit(0)) < cfg.deadRetireThreshold)
 
@@ -135,7 +142,7 @@ object Round {
     val scheduled =
       GoldenSeq.layout(sched0, spark.sessionState.conf.numShufflePartitions)
     val carryover = allowed
-      .join(scheduled.select("url"), Seq("url"), "left_anti")
+      .join(scheduled.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
       .select(col("url"), col("host"), col("priority"), col("tier"), col("depth"),
         col("enqueue_seq"), col("discovered_from"), lit(round + 1).as("round"),
         col("retries"))
@@ -166,7 +173,8 @@ object Round {
     val joined = scheduled
       .join(corpusPruned, scheduled("url") === corpusPruned("doc_id"), "left")
       .join(broadcast(in.hostDeaths), Seq("host"), "left")
-      .join(in.corpusHosts.withColumn("host_in_corpus", lit(true)), Seq("host"), "left")
+      .join(in.corpusHosts.withColumn("host_in_corpus", lit(true))
+        .hint("shuffle_hash"), Seq("host"), "left")
       .withColumn("host_alive",
         coalesce(col("host_in_corpus"), lit(false)) &&
           coalesce(col("dead_from_round"), lit(Int.MaxValue)) > round)
@@ -308,7 +316,7 @@ object Round {
     // ---- 9. retry tier: failed hosts not yet retired re-enqueue the URL
     val priorDead = in.domains.select(col("host"), col("dead_in_a_row").as("prior_dead"))
     val missHostsD = misses.select("host").distinct()
-      .join(priorDead, Seq("host"), "left")
+      .join(priorDead.hint("shuffle_hash"), Seq("host"), "left")
       .withColumn("dead_now", coalesce(col("prior_dead"), lit(0)) + 1)
       .localCheckpoint(false)
     // per-URL retry cap (Scrapy RetryMiddleware semantics) on top of the
@@ -364,8 +372,8 @@ object Round {
     val obs = okHostAgg
       .join(missHostsD.select(col("host"), col("dead_now")), Seq("host"), "full_outer")
     val newHostRows = frontierNext.select("host").distinct()
-      .join(in.domains.select("host"), Seq("host"), "left_anti")
-      .join(obs.select("host"), Seq("host"), "left_anti")
+      .join(in.domains.select("host").hint("shuffle_hash"), Seq("host"), "left_anti")
+      .join(obs.select("host").hint("shuffle_hash"), Seq("host"), "left_anti")
       .localCheckpoint(false)
 
     val mergedBase = in.domains

@@ -3,8 +3,6 @@ package graft.dedup
 import graft.model.CrawlConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
-import java.io.{DataInputStream, DataOutputStream}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Two-phase URL-seen dedup (SURVEY.md §3.3 J2 — THE hot join at 10^10
@@ -21,9 +19,18 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *     negatives are impossible for inserted keys.
   *
   * The filter is built INCREMENTALLY: each round only the new seen delta
-  * is merged into the persistent filter (`mergeInPlace`), then
+  * is folded into the persistent [[FastBloom]] (`orInPlace`), then
   * checkpointed next to the snapshot manifests so resume does not re-scan
   * 10^10 rows to rebuild it.
+  *
+  * Delta filters are built by ONE RDD job over the (cached) delta:
+  * per-partition partials `treeAggregate` into a single filter
+  * EXECUTOR-SIDE (depth 2), so the driver receives exactly one filter
+  * regardless of partition count — the per-task-partial-to-driver
+  * `maxResultSize` failure mode is structurally impossible, and the
+  * merge itself is a bulk word-OR (the previous sketch-aggregate merge
+  * profiled at 7.5s of single-task CPU per round on stream-deserialized
+  * partials; see FastBloom).
   *
   * Crash consistency: the sidecar is TAGGED with the snapshot id it
   * corresponds to and written BEFORE the store flips `_latest` to that
@@ -32,52 +39,73 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * Bloom positives routed into the exact anti-join, which keeps them; a
   * filter BEHIND the seen table would produce false negatives that bypass
   * the anti-join, so any other tag mismatch forces `rebuildFrom(seen)`.
+  * An EMPTY delta still rewrites the sidecar under the new tag (no Spark
+  * job): returning early would leave the tag one snapshot behind after
+  * the manifest flips, forcing the next resume into the full rescan the
+  * sidecar exists to avoid. The sidecar records its (numBits, numHashes)
+  * sizing, so resume under a changed CrawlConfig detects the drift and
+  * rebuilds instead of merging incompatible filters.
   */
 final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[Int]) {
 
   private val bloomPath: Path = Paths.get(stateDir, "seen.bloom")
 
-  // identical (expectedItems, numBits) sizing everywhere (persistent
-  // filter, per-round delta — whether via stat.bloomFilter or the
-  // observed bloom_filter_agg — and rebuild): sketch mergeInPlace
-  // requires the exact same bit width and hash count. Sizing goes through
-  // clampedSizing so it matches what the NATIVE aggregate will build under
-  // the session's runtime-Bloom limits (the aggregate silently Math.min's
-  // against them — an unclamped driver-side create() here could never
-  // merge an aggregate delta). CrawlLoop raises those confs from the
-  // CrawlConfig so a deliberately large filter is honored, not clamped.
-  private[dedup] val (expectedItems: Long, numBits: Long) =
-    graft.functions.SketchExpressions.clampedSizing(
-      cfg.bloomExpectedItems, cfg.bloomFpp)
+  private def freshBloom(): FastBloom =
+    FastBloom.create(cfg.bloomExpectedItems, cfg.bloomFpp)
 
-  private var bloom: BloomFilter = null
+  private var bloom: FastBloom = null
 
   /** true iff a checkpointed filter valid for `latestSnapshot` AND the
-    * current sizing was found (a sidecar written under different conf/cfg
-    * sizing cannot merge with this run's deltas — treated as stale).
+    * current cfg sizing was found.
     */
   val loadedFromCheckpoint: Boolean = readSidecar() match {
-    case Some((tag, items, bits, bf)) =>
+    case Some((tag, bf)) =>
       val latest = latestSnapshot.getOrElse(-1)
       // tag == latest: clean. tag == latest + 1: crash between sidecar
       // write and manifest flip — ahead-by-one, FP-safe (see scaladoc).
-      val tagOk = tag == latest || tag == latest + 1
-      if (tagOk && items == expectedItems && bits == numBits) {
-        bloom = bf; true
-      } else false
+      val want = freshBloom()
+      val ok = (tag == latest || tag == latest + 1) &&
+        bf.numBits == want.numBits && bf.numHashes == want.numHashes
+      if (ok) { bloom = bf; true } else false
     case None => false
   }
 
-  if (bloom == null) bloom = BloomFilter.create(expectedItems, numBits)
+  if (bloom == null) bloom = freshBloom()
 
-  private def readSidecar(): Option[(Int, Long, Long, BloomFilter)] = {
+  private def readSidecar(): Option[(Int, FastBloom)] = {
     if (!Files.exists(bloomPath)) return None
-    val in = new DataInputStream(Files.newInputStream(bloomPath))
     try {
-      val magic = in.readInt()
-      if (magic != SeenSet.Magic) None
-      else Some((in.readInt(), in.readLong(), in.readLong(), BloomFilter.readFrom(in)))
-    } catch { case _: java.io.IOException => None } finally in.close()
+      val bytes = Files.readAllBytes(bloomPath)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      if (bb.getInt != SeenSet.Magic) None
+      else {
+        val tag = bb.getInt
+        Some((tag, FastBloom.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, 8, bytes.length))))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** ONE job: per-partition partial filters over `colName`, merged
+    * executor-side via treeAggregate — exactly one filter reaches the
+    * driver. Returns None for an empty input.
+    */
+  private def aggBloom(df: DataFrame, colName: String): Option[FastBloom] = {
+    val items = cfg.bloomExpectedItems
+    val fpp = cfg.bloomFpp
+    val rows = df.select(col(colName)).queryExecution.toRdd
+    val res = rows.treeAggregate(null.asInstanceOf[FastBloom])(
+      (acc, r) => {
+        if (r.isNullAt(0)) acc
+        else {
+          val bf = if (acc == null) FastBloom.create(items, fpp) else acc
+          bf.put(r.getUTF8String(0).getBytes)
+          bf
+        }
+      },
+      (a, b) => if (a == null) b else if (b == null) a else a.orInPlace(b),
+      depth = 2)
+    Option(res)
   }
 
   /** Rebuild from the authoritative `seen` table (used on resume when the
@@ -85,58 +113,28 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
     * a stale filter over a newer seen set would wrongly mark rediscovered
     * URLs "definitely new").
     */
-  def rebuildFrom(seen: DataFrame): Unit = {
-    if (seen.isEmpty) return
-    bloom = seen.stat.bloomFilter("fingerprint", expectedItems, numBits)
-  }
+  def rebuildFrom(seen: DataFrame): Unit =
+    aggBloom(seen, "fingerprint").foreach(bloom = _)
 
-  /** Merge a round's new fingerprints into the persistent filter and
+  /** Fold a round's new fingerprints into the persistent filter and
     * checkpoint it tagged with `snap` (atomic rename). MUST be called
     * before the store commits snapshot `snap` — see class scaladoc.
-    *
-    * ONE two-stage aggregation job over the (cached) delta: partial
-    * filters travel through the shuffle to a single final merge, so the
-    * driver receives exactly one serialized filter. (Observing the
-    * aggregate on the append write instead would ship one multi-MB
-    * partial PER WRITE TASK as task results — measured >1 GB per round
-    * at bench scale, over spark.driver.maxResultSize.) Callers that
-    * already know the delta row count (observed metric) pass it to skip
-    * the empty-delta probe job.
-    *
-    * An EMPTY delta still rewrites the sidecar under the new tag (no
-    * Spark job, no merge): returning early would leave the tag one
-    * snapshot behind after the manifest flips, forcing the next resume
-    * into the full 10^10-row `rebuildFrom` scan the sidecar exists to
-    * avoid.
+    * Callers that already know the delta row count (observed metric)
+    * pass it to skip the empty-delta probe job.
     */
   def update(seenDelta: DataFrame, snap: Int, knownCount: Long = -1L): Unit = {
-    if (knownCount == 0L || (knownCount < 0L && seenDelta.isEmpty)) {
-      writeSidecar(snap)
-      return
-    }
-    val bytes = seenDelta
-      .coalesce(8) // bounds partial-filter count; narrow on the cache
-      .select(graft.functions.SketchExpressions.bloom_agg(
-        col("fingerprint"), cfg.bloomExpectedItems, cfg.bloomFpp).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    if (bytes != null) {
-      bloom.mergeInPlace(
-        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
-    }
+    if (!(knownCount == 0L || (knownCount < 0L && seenDelta.isEmpty)))
+      aggBloom(seenDelta, "fingerprint").foreach(bloom.orInPlace)
     writeSidecar(snap)
   }
 
   private def writeSidecar(snap: Int): Unit = {
     Files.createDirectories(bloomPath.getParent)
     val tmp = bloomPath.resolveSibling("seen.bloom.tmp")
-    val out = new DataOutputStream(Files.newOutputStream(tmp))
-    try {
-      out.writeInt(SeenSet.Magic)
-      out.writeInt(snap)
-      out.writeLong(expectedItems)
-      out.writeLong(numBits)
-      bloom.writeTo(out)
-    } finally out.close()
+    val body = bloom.toBytes
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(SeenSet.Magic).putInt(snap).put(body)
+    Files.write(tmp, bb.array())
     Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -155,9 +153,9 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
 }
 
 object SeenSet {
-  /** sidecar header magic ("GSB2" — graft seen bloom v2: records the
-    * (items, bits) sizing so resume detects conf/cfg drift; a v1 sidecar
-    * simply fails the magic check and triggers a rebuild).
+  /** sidecar header magic ("GSB3" — graft seen bloom v3: FastBloom body,
+    * self-describing (numBits, numHashes); older magics fail the check
+    * and trigger a rebuild).
     */
-  private[dedup] val Magic: Int = 0x47534232
+  private[dedup] val Magic: Int = 0x47534233
 }

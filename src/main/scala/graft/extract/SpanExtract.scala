@@ -123,6 +123,94 @@ object SpanExtract {
     out.result()
   }
 
+  private val BtcChars = asciiSet("abcdefghijkmnopqrstuvwxyzABCDEFGHJKLMNPQRSTUVWXYZ123456789")
+  private val WordChars = asciiSet(Alnum + "_")
+  private val AlnumChars = asciiSet(Alnum)
+  private val DigitChars = asciiSet("0123456789")
+
+  /** Exactly `BtcRx.findAllMatchIn(text).map(_.matched)` — i.e.
+    * `\b[13][base58]{25,34}\b`.
+    *
+    * Equivalence: the base58 class is a subset of `\w` minus {0,O,I,l,_},
+    * so the trailing `\b` can only hold where the WORD run ends — any
+    * excluded word char (or more base58 chars past 34) immediately after
+    * the matched span is a word-word boundary failure, and backtracking
+    * `{25,34}` only moves the boundary deeper into the run. Hence a match
+    * exists iff a maximal word-char run is exactly `[13]` followed by
+    * 25..34 base58 chars. Runs are disjoint, so scanning maximal runs
+    * left-to-right reproduces find()'s non-overlap.
+    */
+  def fastBtcs(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !in(WordChars, text.charAt(i))) i += 1
+      val start = i
+      while (i < n && in(WordChars, text.charAt(i))) i += 1
+      val len = i - start
+      if (len >= 26 && len <= 35) {
+        val c0 = text.charAt(start)
+        if (c0 == '1' || c0 == '3') {
+          var k = start + 1
+          while (k < i && in(BtcChars, text.charAt(k))) k += 1
+          if (k == i) out += text.substring(start, i)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Exactly `SshFpRx.findAllMatchIn(text).map(_.matched)` — literal
+    * `SHA256:` followed by exactly 43 `[A-Za-z0-9]`. No boundary
+    * assertions, so each literal anchor either extends to a match (next
+    * 43 chars all alnum) or does not; non-overlap = resuming after a
+    * match's end.
+    */
+  def fastSshFps(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val n = text.length
+    var at = text.indexOf("SHA256:")
+    while (at >= 0) {
+      val end = at + 7 + 43
+      var k = at + 7
+      while (k < math.min(end, n) && in(AlnumChars, text.charAt(k))) k += 1
+      if (k == end) {
+        out += text.substring(at, end)
+        at = text.indexOf("SHA256:", end)
+      } else at = text.indexOf("SHA256:", at + 1)
+    }
+    out.result()
+  }
+
+  /** Exactly `PortRx.findAllMatchIn(text).map(_.group(1))` — i.e. the
+    * captured digits of `\b(\d{1,5})/tcp open`.
+    *
+    * Equivalence: greedy `\d{1,5}` anchored by the leading `\b` must
+    * start at the digit run's beginning (any later start is digit-digit,
+    * no boundary), and must consume the WHOLE run to reach `/` — so a
+    * match exists iff the maximal digit run before a literal `/tcp open`
+    * has length 1..5. Anchors scan left-to-right from the previous
+    * match end.
+    */
+  def fastPorts(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var prevEnd = 0
+    var slash = text.indexOf("/tcp open")
+    while (slash >= 0) {
+      var ds = slash
+      while (ds > prevEnd && in(DigitChars, text.charAt(ds - 1))) ds -= 1
+      val len = slash - ds
+      val bounded = ds == 0 || !in(WordChars, text.charAt(ds - 1))
+      if (len >= 1 && len <= 5 && bounded) {
+        out += text.substring(ds, slash)
+        prevEnd = slash + 9
+        slash = text.indexOf("/tcp open", prevEnd)
+      } else slash = text.indexOf("/tcp open", slash + 1)
+    }
+    out.result()
+  }
+
   /** Exactly `OnionRx.findAllMatchIn(text).map(_.matched)`.
     *
     * Equivalence: a match is a 16- or 56-char [a-z2-7] run immediately
@@ -184,9 +272,9 @@ object SpanExtract {
 
     val onions = distinctInOrder(fastOnions(joined).map(_.toLowerCase))
     val emails = distinctInOrder(fastEmails(joined))
-    val btcs = distinctInOrder(BtcRx.findAllMatchIn(joined).map(_.matched).toSeq)
-    val sshFps = distinctInOrder(SshFpRx.findAllMatchIn(joined).map(_.matched).toSeq)
-    val ports = distinctInOrder(PortRx.findAllMatchIn(joined).map(_.group(1)).toSeq)
+    val btcs = distinctInOrder(fastBtcs(joined))
+    val sshFps = distinctInOrder(fastSshFps(joined))
+    val ports = distinctInOrder(fastPorts(joined))
 
     Parsed(
       url = baseUrl,

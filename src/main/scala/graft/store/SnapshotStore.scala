@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
@@ -23,12 +23,13 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *     deltas into one sorted directory and commits a manifest pointing
   *     at it (like a bin-pack rewrite + snapshot expiry).
   *
-  * ALL of a snapshot's append deltas are written by ONE Spark job: the
-  * deltas are tagged, unioned (missing columns null-padded) and written
-  * `partitionBy("_t")`, so the manifest entry for table t is
-  * `combined/delta-XXXX/_t=t`. The driver plans/compiles/commits one
-  * write instead of one per table — between small per-round stages the
-  * driver, not the executors, is the bottleneck (measured: the per-round
+  * ALL of a snapshot's tables — overwrites AND append deltas — are
+  * written by at most TWO Spark jobs (row-heavy narrow tables in one
+  * tagged union, the wide low-row tables in the other — see `writeData`),
+  * so the manifest entry for table t is `combined/{delta,rows}-XXXX/_t=t`.
+  * The driver plans/compiles/commits two writes instead of one per
+  * table — between small per-round stages the per-table write tails,
+  * not the executors, were the bottleneck (measured: the per-round
   * fixed cost capped 8→32-core scaling at 0.27 efficiency in round 1).
   * Each table's exact schema is recorded in the manifest (`_schema:` keys)
   * and re-imposed on read, so empty deltas, the null-padded superset
@@ -53,57 +54,62 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
   private def readManifest(snap: Int): Map[String, Seq[String]] =
     parseManifest(Files.readString(manifestPath(snap)))
 
-  /** Write snapshot `snap`'s data files: `overwrite` tables get a fresh
-    * dir replacing prior ones; `append` tables are tagged + unioned into
-    * ONE combined write. Returns the manifest entries for
-    * [[commitManifest]]. `observeAppends` metrics are attached to the
-    * combined union (rows carry `_t`; guard aggregates with
-    * `when(col("_t") === <table>, ...)`).
+  /** Write snapshot `snap`'s data files: ALL tables — `overwrite` (fresh
+    * dir replacing prior ones) AND `append` (delta accumulating) — are
+    * tagged, unioned (missing columns null-padded) and written
+    * `partitionBy("_t")` by at most TWO Spark jobs. Two, not one-per-table
+    * and not one-for-all:
+    *
+    *   - one-per-table (the original shape) pays a short low-parallelism
+    *     write tail PER TABLE per round — measured as the dominant
+    *     per-round Amdahl term in the 8v32 scaling ladder;
+    *   - one-for-all null-pads every row to the ~40-column superset of
+    *     ALL table schemas. `UnsafeRowWriter.setNullAt` on the padding
+    *     profiled at 14% of whole-crawl executor CPU, paid mostly by the
+    *     row-heavy narrow tables (FTS postings: millions of 5-column rows
+    *     per round padded ×8).
+    *
+    * `rowHeavy` names the many-rows/few-columns tables; they union into
+    * their own narrow write, everything else into a second. Attach
+    * observations UPSTREAM (on the individual delta) — they ride
+    * whichever union their table lands in.
     */
   def writeData(
       snap: Int,
       overwrite: Map[String, DataFrame],
       append: Map[String, DataFrame],
-      observeAppends: Option[(Observation, Seq[Column])] = None)
+      rowHeavy: Set[String] = Set.empty)
       : Map[String, Seq[String]] = {
     val prev: Map[String, Seq[String]] =
       latestSnapshot.map(readManifest).getOrElse(Map.empty)
 
     val timing = sys.env.contains("GRAFT_TIMING")
-    def timedWrite(t: String, rel: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-      val t0 = System.nanoTime()
-      val w = df.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(root.resolve(rel).toString)
-      if (timing) println(f"[timing] snap=$snap%d write $t%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-    }
-
     val entries = scala.collection.mutable.Map[String, Seq[String]](prev.toSeq: _*)
-    // overwrite tables first, sequentially: they sit atop the round's
-    // cached intermediates and materialize them once for everyone
-    overwrite.foreach { case (t, df) =>
-      val rel = f"$t/snap-$snap%06d"
-      timedWrite(t, rel, df)
-      entries(t) = Seq(rel)
-      entries(SchemaKey + t) = Seq(df.schema.toDDL)
-    }
-    if (append.nonEmpty) {
-      val rel = f"combined/delta-$snap%06d"
-      val union = append.toSeq.sortBy(_._1)
+
+    def writeUnion(rel: String, tables: Seq[(String, DataFrame)]): Unit = {
+      if (tables.isEmpty) return
+      val union = tables
         .map { case (t, df) =>
           df.withColumn("_t", org.apache.spark.sql.functions.lit(t))
         }
         .reduce(_.unionByName(_, allowMissingColumns = true))
-      val observed = observeAppends match {
-        case Some((obs, cols)) => union.observe(obs, cols.head, cols.tail: _*)
-        case None              => union
-      }
-      timedWrite("appends(all)", rel, observed, partitionBy = Seq("_t"))
-      append.foreach { case (t, df) =>
-        entries(t) = entries.getOrElse(t, Seq.empty) :+ s"$rel/_t=$t"
+      val t0 = System.nanoTime()
+      union.write.mode("overwrite").partitionBy("_t")
+        .parquet(root.resolve(rel).toString)
+      if (timing) println(f"[timing] snap=$snap%d write $rel%s(${tables.size}%d tables) ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      tables.foreach { case (t, df) =>
+        val dir = s"$rel/_t=$t"
+        entries(t) =
+          if (overwrite.contains(t)) Seq(dir)
+          else entries.getOrElse(t, Seq.empty) :+ dir
         entries(SchemaKey + t) = Seq(df.schema.toDDL)
       }
     }
+
+    val all = (overwrite.toSeq ++ append.toSeq).sortBy(_._1)
+    val (heavy, rest) = all.partition { case (t, _) => rowHeavy(t) }
+    writeUnion(f"combined/delta-$snap%06d", rest)
+    writeUnion(f"combined/rows-$snap%06d", heavy)
     entries.toMap
   }
 
@@ -194,4 +200,13 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       m.group(1) -> strRx.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
     }.toMap
   }
+}
+
+object SnapshotStore {
+  /** The many-rows/few-columns crawl tables — routed to their own narrow
+    * combined write (see [[SnapshotStore.writeData]] scaladoc).
+    */
+  val RowHeavyTables: Set[String] = Set(
+    "seen", "pages", "pages_fts", "links", "emails", "btc_addresses",
+    "ssh_fps", "open_ports", "crawl_log")
 }
