@@ -9,9 +9,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * rows):
   *
   *   phase 1 (optimization): a broadcast Bloom filter over all seen
-  *     fingerprints pre-filters candidates on the map side — at a 10^10
-  *     frontier the overwhelming majority of rediscovered URLs never
-  *     reach the shuffle.
+  *     fingerprints pre-filters candidates — at a 10^10 frontier the
+  *     overwhelming majority of rediscovered URLs never reach the
+  *     exact-join shuffle.
   *   phase 2 (authority):   an exact `LEFT ANTI` join against the `seen`
   *     table. Correctness is FPP-INDEPENDENT by construction: a Bloom
   *     false positive merely sends a genuinely-new URL into the anti-join,
@@ -23,9 +23,23 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * checkpointed next to the snapshot manifests so resume does not re-scan
   * 10^10 rows to rebuild it.
   *
+  * SHARDING (`CrawlConfig.seenShardBits`): at 10^10 fingerprints and 1%
+  * FPP a monolithic filter is ~12 GB — one broadcast every executor must
+  * fully hold. With 2^b shards, each keyed by Spark's own
+  * `HashPartitioning` function (`pmod(murmur3(fingerprint, seed 42), n)`),
+  * the probe first `repartition(n, fingerprint)`s the candidates so every
+  * task sees exactly one shard value and therefore fetches exactly ONE
+  * shard broadcast (~12 GB / 2^b) — per-executor filter residency shrinks
+  * to the shards its tasks actually probe. The shard id is computed as an
+  * explicit COLUMN (not from the task's partition id), so a plan that
+  * re-orders the filter only loses locality, never correctness. The
+  * candidate shuffle this costs is the same key the phase-2 anti-join
+  * shuffles on anyway. `seenShardBits = 0` (default) keeps the single
+  * filter with a pure map-side probe — right below the multi-GB regime.
+  *
   * Delta filters are built by ONE RDD job over the (cached) delta:
-  * per-partition partials `treeAggregate` into a single filter
-  * EXECUTOR-SIDE (depth 2), so the driver receives exactly one filter
+  * per-partition partials `treeAggregate` into a single shard array
+  * EXECUTOR-SIDE (depth 2), so the driver receives exactly one copy
   * regardless of partition count — the per-task-partial-to-driver
   * `maxResultSize` failure mode is structurally impossible, and the
   * merge itself is a bulk word-OR (the previous sketch-aggregate merge
@@ -42,37 +56,52 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * An EMPTY delta still rewrites the sidecar under the new tag (no Spark
   * job): returning early would leave the tag one snapshot behind after
   * the manifest flips, forcing the next resume into the full rescan the
-  * sidecar exists to avoid. The sidecar records its (numBits, numHashes)
-  * sizing, so resume under a changed CrawlConfig detects the drift and
-  * rebuilds instead of merging incompatible filters.
+  * sidecar exists to avoid. The sidecar records its shard count and
+  * per-shard (numBits, numHashes) sizing, so resume under a changed
+  * CrawlConfig detects the drift and rebuilds instead of merging
+  * incompatible filters.
   */
 final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[Int]) {
 
   private val bloomPath: Path = Paths.get(stateDir, "seen.bloom")
 
-  private def freshBloom(): FastBloom =
-    FastBloom.create(cfg.bloomExpectedItems, cfg.bloomFpp)
+  val nShards: Int = 1 << cfg.seenShardBits
 
-  private var bloom: FastBloom = null
+  private def freshShards(): Array[FastBloom] =
+    Array.fill(nShards)(FastBloom.create(
+      math.max(1L, cfg.bloomExpectedItems / nShards), cfg.bloomFpp))
+
+  private var shards: Array[FastBloom] = null
+
+  /** Spark's HashPartitioning pid for a fingerprint: must match
+    * `repartition(n, col("fingerprint"))` exactly so shard == partition.
+    */
+  private def shardOf(bytes: Array[Byte]): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
+    ((h % nShards) + nShards) % nShards
+  }
 
   /** true iff a checkpointed filter valid for `latestSnapshot` AND the
     * current cfg sizing was found.
     */
   val loadedFromCheckpoint: Boolean = readSidecar() match {
-    case Some((tag, bf)) =>
+    case Some((tag, loaded)) =>
       val latest = latestSnapshot.getOrElse(-1)
       // tag == latest: clean. tag == latest + 1: crash between sidecar
       // write and manifest flip — ahead-by-one, FP-safe (see scaladoc).
-      val want = freshBloom()
+      val want = freshShards()
       val ok = (tag == latest || tag == latest + 1) &&
-        bf.numBits == want.numBits && bf.numHashes == want.numHashes
-      if (ok) { bloom = bf; true } else false
+        loaded.length == want.length &&
+        loaded(0).numBits == want(0).numBits &&
+        loaded(0).numHashes == want(0).numHashes
+      if (ok) { shards = loaded; true } else false
     case None => false
   }
 
-  if (bloom == null) bloom = freshBloom()
+  if (shards == null) shards = freshShards()
 
-  private def readSidecar(): Option[(Int, FastBloom)] = {
+  private def readSidecar(): Option[(Int, Array[FastBloom])] = {
     if (!Files.exists(bloomPath)) return None
     try {
       val bytes = Files.readAllBytes(bloomPath)
@@ -80,30 +109,48 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
       if (bb.getInt != SeenSet.Magic) None
       else {
         val tag = bb.getInt
-        Some((tag, FastBloom.fromBytes(
-          java.util.Arrays.copyOfRange(bytes, 8, bytes.length))))
+        val n = bb.getInt
+        val arr = Array.fill(n) {
+          val len = bb.getInt
+          val body = new Array[Byte](len)
+          bb.get(body)
+          FastBloom.fromBytes(body)
+        }
+        Some((tag, arr))
       }
     } catch { case _: Exception => None }
   }
 
-  /** ONE job: per-partition partial filters over `colName`, merged
-    * executor-side via treeAggregate — exactly one filter reaches the
+  /** ONE job: per-partition partial shard arrays over `colName`, merged
+    * executor-side via treeAggregate — exactly one array reaches the
     * driver. Returns None for an empty input.
     */
-  private def aggBloom(df: DataFrame, colName: String): Option[FastBloom] = {
-    val items = cfg.bloomExpectedItems
+  private def aggShards(df: DataFrame, colName: String): Option[Array[FastBloom]] = {
+    val items = math.max(1L, cfg.bloomExpectedItems / nShards)
     val fpp = cfg.bloomFpp
+    val n = nShards
     val rows = df.select(col(colName)).queryExecution.toRdd
-    val res = rows.treeAggregate(null.asInstanceOf[FastBloom])(
-      (acc, r) => {
-        if (r.isNullAt(0)) acc
+    val res = rows.treeAggregate(null.asInstanceOf[Array[FastBloom]])(
+      (acc0, r) => {
+        if (r.isNullAt(0)) acc0
         else {
-          val bf = if (acc == null) FastBloom.create(items, fpp) else acc
-          bf.put(r.getUTF8String(0).getBytes)
-          bf
+          val acc = if (acc0 == null)
+            Array.fill(n)(FastBloom.create(items, fpp))
+          else acc0
+          val bytes = r.getUTF8String(0).getBytes
+          val s = if (n == 1) 0 else {
+            val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+              bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
+            ((h % n) + n) % n
+          }
+          acc(s).put(bytes)
+          acc
         }
       },
-      (a, b) => if (a == null) b else if (b == null) a else a.orInPlace(b),
+      (a, b) =>
+        if (a == null) b
+        else if (b == null) a
+        else { var i = 0; while (i < a.length) { a(i).orInPlace(b(i)); i += 1 }; a },
       depth = 2)
     Option(res)
   }
@@ -114,7 +161,7 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
     * URLs "definitely new").
     */
   def rebuildFrom(seen: DataFrame): Unit =
-    aggBloom(seen, "fingerprint").foreach(bloom = _)
+    aggShards(seen, "fingerprint").foreach(shards = _)
 
   /** Fold a round's new fingerprints into the persistent filter and
     * checkpoint it tagged with `snap` (atomic rename). MUST be called
@@ -124,16 +171,20 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
     */
   def update(seenDelta: DataFrame, snap: Int, knownCount: Long = -1L): Unit = {
     if (!(knownCount == 0L || (knownCount < 0L && seenDelta.isEmpty)))
-      aggBloom(seenDelta, "fingerprint").foreach(bloom.orInPlace)
+      aggShards(seenDelta, "fingerprint").foreach { delta =>
+        var i = 0
+        while (i < shards.length) { shards(i).orInPlace(delta(i)); i += 1 }
+      }
     writeSidecar(snap)
   }
 
   private def writeSidecar(snap: Int): Unit = {
     Files.createDirectories(bloomPath.getParent)
     val tmp = bloomPath.resolveSibling("seen.bloom.tmp")
-    val body = bloom.toBytes
-    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
-    bb.putInt(SeenSet.Magic).putInt(snap).put(body)
+    val bodies = shards.map(_.toBytes)
+    val bb = java.nio.ByteBuffer.allocate(12 + bodies.map(_.length + 4).sum)
+    bb.putInt(SeenSet.Magic).putInt(snap).putInt(shards.length)
+    bodies.foreach { b => bb.putInt(b.length); bb.put(b) }
     Files.write(tmp, bb.array())
     Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -142,20 +193,39 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
   /** candidates minus seen; `candidates` must carry `fingerprint`. */
   def filterNew(candidates: DataFrame, seen: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
-    val definitelyNew = candidates.filter(!mightContain(col("fingerprint")))
-    val maybeSeen = candidates.filter(mightContain(col("fingerprint")))
-    // exact authority for the (few) Bloom hits
-    definitelyNew.unionByName(
-      maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+    if (nShards == 1) {
+      val bc = spark.sparkContext.broadcast(shards(0))
+      val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+      val definitelyNew = candidates.filter(!mightContain(col("fingerprint")))
+      val maybeSeen = candidates.filter(mightContain(col("fingerprint")))
+      // exact authority for the (few) Bloom hits
+      definitelyNew.unionByName(
+        maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+    } else {
+      // sharded: co-partition candidates with the shard function, so each
+      // task probes (and each executor fetches) exactly one shard
+      // broadcast; shard id travels as a COLUMN — plan reorderings can
+      // only cost locality, never correctness
+      val bcs = shards.map(spark.sparkContext.broadcast(_))
+      val probe = udf((fp: String, s: Int) =>
+        fp != null && bcs(s).value.mightContainString(fp))
+      val n = nShards
+      val sharded = candidates
+        .withColumn("_shard", pmod(hash(col("fingerprint")), lit(n)))
+        .repartition(n, col("fingerprint"))
+      val definitelyNew = sharded.filter(!probe(col("fingerprint"), col("_shard")))
+      val maybeSeen = sharded.filter(probe(col("fingerprint"), col("_shard")))
+      definitelyNew.unionByName(
+        maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+        .drop("_shard")
+    }
   }
 }
 
 object SeenSet {
-  /** sidecar header magic ("GSB3" — graft seen bloom v3: FastBloom body,
-    * self-describing (numBits, numHashes); older magics fail the check
-    * and trigger a rebuild).
+  /** sidecar header magic ("GSB4" — graft seen bloom v4: shard count +
+    * per-shard FastBloom bodies, self-describing sizing; older magics
+    * fail the check and trigger a rebuild).
     */
-  private[dedup] val Magic: Int = 0x47534233
+  private[dedup] val Magic: Int = 0x47534234
 }

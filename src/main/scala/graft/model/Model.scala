@@ -114,7 +114,11 @@ final case class CrawlConfig(
     maxUrlRetries: Int = 2,
     /** retention: page rows older than this many rounds are dropped at
       * compaction (Int.MaxValue = keep forever). */
-    pageTtlRounds: Int = Int.MaxValue) {
+    pageTtlRounds: Int = Int.MaxValue,
+    /** seen-filter shards = 2^bits (SeenSet scaladoc): 0 = one filter,
+      * map-side probe (default); >0 = per-shard broadcasts with
+      * co-partitioned probes for the 10^10 multi-GB-filter regime. */
+    seenShardBits: Int = 0) {
 
   /** budget(host) = min(max(1, floor(roundWindow / crawlDelay(host))),
     * floor(roundWindow / minDelaySec)) — the upper clamp mirrors

@@ -193,6 +193,15 @@ class CrawlSpec extends AnyFunSuite {
     assert(d1 == d2)
   }
 
+  test("SHARDED seen filter (4 shards, co-partitioned probes) ≡ single filter, byte-exact") {
+    val sharded = runCrawl(rounds = 6, partitions = 4, c = cfg.copy(seenShardBits = 2))
+    assert(logSeq(sharded) == logSeq(mainStore))
+    assert(seenFps(sharded) == seenFps(mainStore))
+    val d1 = mainStore.read("domains").orderBy("host").collect().toSeq
+    val d2 = sharded.read("domains").orderBy("host").collect().toSeq
+    assert(d1 == d2)
+  }
+
   test("retention TTL: expired page rows vanish at compaction; crawl continues") {
     val store = runCrawl(rounds = 6, partitions = 4,
       c = cfg.copy(pageTtlRounds = 2, compactEveryRounds = 2))
