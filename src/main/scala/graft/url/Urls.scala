@@ -178,6 +178,13 @@ object Urls {
 
   /** RFC 3986 resolution of href against base (SURVEY.md §3.7 R3), with
     * onion-crawl guards: only http(s) results, host must survive parsing.
+    *
+    * The two dominant anchor shapes — absolute-path (`/p1`) and simple
+    * relative (`p2?a=1`) — resolve with plain string work; `java.net.URI`
+    * (multi-KB of parser allocation per call, profiled in the extraction
+    * hot loop) handles everything else and REMAINS the executable spec:
+    * UrlsSpec property-checks the fast path against it on adversarial
+    * (base, href) pairs, and the frozen goldens pin the integration.
     */
   def resolve(base: String, href: String): Option[String] = {
     if (href == null || base == null) return None
@@ -187,9 +194,91 @@ object Urls {
     try {
       val resolved =
         if (h.contains("://")) h
-        else new java.net.URI(base).resolve(escapeForUri(h)).toString
+        else resolveFast(base, h).getOrElse(
+          new java.net.URI(base).resolve(escapeForUri(h)).toString)
       split(resolved).map(_ => canonicalize(resolved))
     } catch { case _: Exception => None }
+  }
+
+  /** Fast-path RFC 3986 merge for guarded shapes; None = use URI. Shapes:
+    *   - absolute-path refs `/x...` (not protocol-relative `//`),
+    *   - relative refs with no scheme/colon-ambiguity, no dot segments,
+    *     no query-only/fragment forms.
+    * Both append to `scheme://authority`; relative refs merge onto the
+    * base path's directory (base query dropped, per §5.3). Fragments pass
+    * through — the caller canonicalizes them away, like the URI path.
+    */
+  /** chars that pass through the URI path unescaped AND unrejected —
+    * anything else (space, quotes, brackets, braces, control, non-ASCII)
+    * falls back so fast-path and URI-path outputs cannot diverge.
+    */
+  private def plainRefChar(c: Char): Boolean =
+    isUnreserved(c) || c == '/' || c == '?' || c == '#' || c == '%' ||
+      c == '&' || c == '=' || c == '+' || c == ',' || c == ';' ||
+      c == '!' || c == '$' || c == '\'' || c == '(' || c == ')' ||
+      c == '*' || c == '@' || c == ':'
+
+  private def resolveFast(base: String, h: String): Option[String] = {
+    var k = 0
+    while (k < h.length) { if (!plainRefChar(h.charAt(k))) return None; k += 1 }
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd <= 0) return None
+    val authStart = schemeEnd + 3
+    val authEnd0 = base.indexWhere(c => c == '/' || c == '?' || c == '#', authStart)
+    val authEnd = if (authEnd0 == -1) base.length else authEnd0
+    if (authEnd == authStart) return None // empty authority: let URI decide
+    val root = base.substring(0, authEnd)
+    if (hasDotSegment(h)) return None
+
+    if (h.startsWith("/")) {
+      if (h.startsWith("//")) None // protocol-relative
+      else Some(root + h)
+    } else {
+      // simple relative: no ':' before the first '/', '?' or '#' (scheme
+      // ambiguity), not query-only
+      var i = 0
+      var colon = false
+      while (i < h.length && h.charAt(i) != '/' && h.charAt(i) != '?' && h.charAt(i) != '#') {
+        if (h.charAt(i) == ':') colon = true
+        i += 1
+      }
+      if (colon || h.startsWith("?")) None
+      else {
+        // merge onto the base path's directory (§5.3: strip query, keep
+        // path up to the last '/'; empty base path merges as "/"); a base
+        // path with its own dot segments falls back (URI normalizes at
+        // merge time, the fast path would defer to canonicalize — equal
+        // in the end, but let the spec path handle the exotic case)
+        val pathEnd0 = base.indexWhere(c => c == '?' || c == '#', authEnd)
+        val pathEnd = if (pathEnd0 == -1) base.length else pathEnd0
+        val basePath = base.substring(authEnd, pathEnd)
+        if (hasDotSegment(basePath)) None
+        else {
+          val dir = basePath.lastIndexOf('/') match {
+            case -1 => "/"
+            case j  => basePath.substring(0, j + 1)
+          }
+          Some(root + dir + h)
+        }
+      }
+    }
+  }
+
+  /** "." or ".." as a complete path segment anywhere in the ref. */
+  private def hasDotSegment(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i) != '?' && s.charAt(i) != '#') {
+      if (s.charAt(i) == '.' &&
+          (i == 0 || s.charAt(i - 1) == '/')) {
+        var j = i
+        while (j < n && s.charAt(j) == '.') j += 1
+        if (j - i <= 2 && (j == n || s.charAt(j) == '/' || s.charAt(j) == '?' || s.charAt(j) == '#'))
+          return true
+      }
+      i += 1
+    }
+    false
   }
 
   /** java.net.URI rejects raw spaces etc.; escape minimally. */

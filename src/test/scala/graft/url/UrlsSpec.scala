@@ -84,6 +84,40 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.resolve(base, "javascript:void(0)").isEmpty)
   }
 
+  test("resolve fast path equals the java.net.URI spec on adversarial (base, href) pairs") {
+    // the pure-URI formulation IS the spec; the guarded string fast path
+    // must be indistinguishable through resolve()'s public result
+    def specResolve(base: String, href: String): Option[String] = {
+      val h = href.trim
+      if (h.isEmpty || h.startsWith("#") || h.startsWith("javascript:") ||
+          h.startsWith("mailto:") || h.startsWith("data:")) None
+      else try {
+        val escaped = h.replace(" ", "%20").replace("\"", "%22").replace("<", "%3C")
+          .replace(">", "%3E").replace("|", "%7C").replace("`", "%60")
+          .replace("\\", "%5C").replace("^", "%5E").replace("{", "%7B")
+          .replace("}", "%7D")
+        val resolved =
+          if (h.contains("://")) h
+          else new java.net.URI(base).resolve(escaped).toString
+        if (Urls.hostOf(resolved).nonEmpty) Some(Urls.canonicalize(resolved))
+        else None
+      } catch { case _: Exception => None }
+    }
+    val rnd = new scala.util.Random(4242)
+    val hosts = Seq("abcdefghij234567.onion", "x.abcdefghij234567.onion")
+    val basePaths = Seq("", "/", "/a", "/a/", "/a/b", "/a/b/", "/a/../b", "/a%2Fb", "/a?q=1", "/a/b?x=2&a=1")
+    val hrefFrags = Seq("p1", "p1?b=2&a=1", "/p1", "/p1?a=1#f", "a/b/c", "../up", "./same", "..", ".",
+      "?only=query", "//proto.relative.onion/x", "p with space", "we{ird}", "q'uote", "sub;semi=1",
+      "%2e%2e/enc", "a:b", "a/b:c", "#f", "", "   ", "p1#frag", "~user/x", "a+b,c", "(paren)", "!bang$")
+    for (i <- 0 until 5000) {
+      val base = s"http://${hosts(rnd.nextInt(hosts.length))}${basePaths(rnd.nextInt(basePaths.length))}"
+      val href = hrefFrags(rnd.nextInt(hrefFrags.length))
+      val got = Urls.resolve(base, href)
+      val want = specResolve(base, href)
+      assert(got == want, s"case $i: base=<$base> href=<$href> got=$got want=$want")
+    }
+  }
+
   test("isOnionHost: v2 + v3 + subdomains, rejects clearnet") {
     assert(Urls.isOnionHost("abcdefghij234567.onion"))
     assert(Urls.isOnionHost("a" * 56 + ".onion"))
