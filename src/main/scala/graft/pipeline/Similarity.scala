@@ -129,6 +129,101 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Deterministic Lloyd k-means coarse quantizer for [[ivfTopK]]:
+    * initial centroids are the `nClusters` vectors with the smallest
+    * `xxhash64(id)` (a seeded, partitioning-free choice — no RNG state),
+    * then `iters` assignment+mean rounds. Assignment is max-cosine with
+    * (rounded-sim, cluster-id) tie-breaks; means are computed in exact
+    * DECIMAL so the reduction order cannot perturb centroids — the whole
+    * quantizer replays bit-identically under any partitioning (the
+    * engine-wide determinism contract). Per iteration: one crossJoin
+    * against the ≤nClusters broadcast centroids + two aggregations; only
+    * the nClusters×dim centroid matrix ever reaches the driver.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nClusters)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]].collect().toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cluster_id", "cvec")
+      val means = corpus
+        .crossJoin(broadcast(cdf))
+        .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 9))
+        .groupBy(col(idCol))
+        .agg(
+          min_by(col("cluster_id"),
+            struct((lit(1.0) - col("sim")).as("d"), col("cluster_id"))).as("cluster_id"),
+          first(col(vecCol)).as("v"))
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster_id"),
+          transform(col("pm"), p => p.getField("m")).as("cvec"))
+        .as[(Int, Seq[Double])].collect().toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) approximate top-k — the classic
+    * coarse-quantizer scale path alongside [[lshTopK]]: corpus vectors
+    * are assigned to their max-cosine centroid ONCE (the inverted
+    * lists); each query probes only its `nProbe` nearest centroids'
+    * lists with exact cosine scoring. Cost per query falls from O(n) to
+    * O(n·nProbe/nClusters) expected; recall < 1 when nProbe < nClusters
+    * (the knob), and `nProbe == nClusters` degenerates to exactly
+    * [[bruteForceTopK]] — the equality PipelineSpec pins. Same rounded
+    * score + id tie-breaks as the exact baseline, so results are
+    * deterministic under any partitioning.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nClusters: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(
+      kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+        .toDF("cluster_id", "cvec"))
+    val index = corpus
+      .crossJoin(cdf)
+      .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 9))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("cluster_id"),
+          struct((lit(1.0) - col("sim")).as("d"), col("cluster_id"))).as("cluster_id"),
+        first(col(vecCol)).as("nn_vec"))
+      .select(col(idCol).as("nn_id"), col("nn_vec"), col("cluster_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cluster_id").asc)
+    val qprobe = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cdf)
+      .withColumn("psim", round(cosine(col("q_vec"), col("cvec")), 9))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    index.join(broadcast(qprobe), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
   /** EXACT near-duplicate pairs — the O(n²) verification baseline for
     * [[cosineNearDups]] (full oracle; run on samples/blocks at scale,
     * the LSH variant is the scale path). Filter on the raw cosine,

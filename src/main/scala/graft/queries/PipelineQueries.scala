@@ -97,6 +97,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF (k-means inverted lists) ANN top-5, probing 2 of 8 clusters
+    // (the coarse-quantizer scale path; recall<1 at nProbe<nClusters —
+    // rows-only, PipelineSpec pins nProbe=nClusters ≡ brute force)
+    "ann03_ivf_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // token counting — FULL oracle
     "ta01_token_stats" -> ((s, d) => {
       TextAnalysis.tokenStats(docs(s, d), "doc_id", "text")

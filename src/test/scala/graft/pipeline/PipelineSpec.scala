@@ -94,6 +94,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF with nProbe == nClusters degenerates to EXACT brute force; nProbe<k keeps exact scores") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "nn_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // full probe = every (query, corpus) pair scored once => identical result
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 8)
+      .select("query_id", "nn_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(full == brute, "full-probe IVF drifted from brute force")
+    // partial probe: approximate set, but every returned score is the
+    // exact cosine (verified against the k=100 brute-force table)
+    val bruteAll = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 100)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 2)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (a, b, s) =>
+      bruteAll.get((a, b)).foreach(bs => assert(math.abs(bs - s) < 1e-9))
+    }
+    // the probed-cluster heuristic must beat random: top-1 recall vs brute
+    val bruteTop1 = brute.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    val ivfTop1 = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 1,
+      nClusters = 8, nProbe = 2)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toMap
+    val hits = bruteTop1.count { case (qid, nn) => ivfTop1.get(qid).contains(nn) }
+    assert(hits >= 2, s"top-1 recall $hits/5 at nProbe=2 — quantizer broken")
+  }
+
   test("token stats values") {
     val df = Seq((1L, "Hello, world! 42"), (2L, "  spaced   out  ")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
