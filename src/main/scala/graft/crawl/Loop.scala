@@ -15,16 +15,17 @@ import org.apache.spark.sql.functions._
   *
   * Per-round Spark-job budget (the driver is the serial cost between
   * small stages — round 1 measured it capping 8→32-core scaling):
-  *   1. frontier row count   (termination check + Bloom size hint)
-  *   2. schedule stats       (per-range counts + total + URL Bloom)
-  *   3. frontier overwrite   (materializes the round's cached DAG;
-  *                            observed metric: next round's row count)
-  *   4. domains overwrite
-  *   5. combined append      (ALL deltas, one tagged partitioned write;
-  *                            observed metrics: seen-delta count + Bloom)
-  * The seen-set Bloom and its sidecar checkpoint, next round's frontier
-  * count and the golden-sequence bookkeeping all ride on those jobs as
-  * observed metrics instead of dedicated actions.
+  *   1. range-partitioner sampling (GoldenSeq.layout's repartitionByRange)
+  *   2. schedule stats       (ONE treeAggregate: per-range counts + total
+  *                            + URL Bloom, merged executor-side)
+  *   3. wide-tables write    (frontier/domains/metrics tagged union;
+  *                            observed metric: next round's frontier count)
+  *   4. row-heavy write      (seen/pages/pages_fts/links/facts/crawl_log
+  *                            tagged union; observed: seen-delta count)
+  *   5. seen-Bloom delta     (ONE treeAggregate over the cached delta)
+  * plus a frontier count on the FIRST round of a run only (later rounds
+  * reuse the write's observed metric). Golden-sequence bookkeeping and
+  * the sidecar checkpoint ride on those jobs — no dedicated actions.
   */
 final class CrawlLoop(
     val store: SnapshotStore,
