@@ -222,15 +222,24 @@ final class CrawlLoop(
       frontierRowsNext = Some(frontierObs.get("rows").asInstanceOf[Long])
       if (r % cfg.compactEveryRounds == 0) {
         store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets)
+        // FTS index maintenance on the same cadence: collapse the RAW
+        // per-round postings to unique (term, url, host) — latest
+        // observation round, title flag preserved — and cluster by term
+        // (term-major files make the query-time In(term) pushdown prune
+        // whole row groups). Bounds the raw-postings growth the
+        // zero-shuffle delta path trades for.
+        store.compact(r, "pages_fts", Seq("term", "url"), buckets = cfg.saltBuckets,
+          retain = if (cfg.pageTtlRounds != Int.MaxValue)
+            Some(col("round") > r - cfg.pageTtlRounds) else None,
+          rewrite = Some(df => df
+            .groupBy(col("term"), col("url"), col("host"))
+            .agg(max(col("in_title")).as("in_title"), max(col("round")).as("round"))))
         // retention delete: expire page observations past their TTL on
-        // the same cadence; the committed FTS index expires in lockstep
-        // (its `round` is the indexing round)
-        if (cfg.pageTtlRounds != Int.MaxValue) {
+        // the same cadence; the committed FTS index expired above in
+        // lockstep (its `round` is the indexing round)
+        if (cfg.pageTtlRounds != Int.MaxValue)
           store.compact(r, "pages", Seq("host", "url"), buckets = cfg.saltBuckets,
             retain = Some(col("visited_round") > r - cfg.pageTtlRounds))
-          store.compact(r, "pages_fts", Seq("term", "url"), buckets = cfg.saltBuckets,
-            retain = Some(col("round") > r - cfg.pageTtlRounds))
-        }
       }
       out.cached.foreach(release)
       executed += 1

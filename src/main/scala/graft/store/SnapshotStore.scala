@@ -165,15 +165,20 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     * `retain` (optional) filters rows while rewriting — the TTL/retention
     * delete path (rows failing the predicate are dropped from the new
     * snapshot; prior snapshots still see them — Iceberg rewrite+expiry).
+    * `rewrite` (optional) transforms the surviving rows — e.g. collapsing
+    * duplicate FTS postings — and runs AFTER `retain`; it must preserve
+    * the table's schema.
     */
   def compact(
       snap: Int,
       table: String,
       sortCols: Seq[String],
       buckets: Int,
-      retain: Option[Column] = None): Unit = {
+      retain: Option[Column] = None,
+      rewrite: Option[DataFrame => DataFrame] = None): Unit = {
     val df0 = read(table)
-    val df = retain.map(df0.filter).getOrElse(df0)
+    val df1 = retain.map(df0.filter).getOrElse(df0)
+    val df = rewrite.map(_.apply(df1)).getOrElse(df1)
     import org.apache.spark.sql.functions.col
     val rel = f"$table/compact-$snap%06d"
     df.repartitionByRange(buckets, sortCols.map(col): _*)

@@ -259,6 +259,10 @@ class CrawlSpec extends AnyFunSuite {
     assert(committed.count() > 0)
     // index rows only exist for rounds that fetched pages
     assert(committed.select("round").distinct().count() >= 1)
+    // compaction (cadence 2, last at round 6) collapses the raw postings
+    // to unique (term, url, host)
+    assert(committed.groupBy("term", "url", "host").count()
+      .filter(col("count") > 1).isEmpty, "duplicate postings survived compaction")
     val q = "hidden market directory"
     val fromCommitted = graft.analytics.Search.query(committed, q, 0, 10)
       .collect().toSeq
