@@ -168,8 +168,8 @@ object Round {
     // the shuffle. Exactness is unaffected: the equi-join discards Bloom
     // false positives.
     val urlBloom = spark.sparkContext.broadcast(st.urlBloom)
-    val mightFetch = udf((u: String) => u != null && urlBloom.value.mightContainString(u))
-    val corpusPruned = in.corpus.filter(mightFetch(col("doc_id")))
+    val corpusPruned = in.corpus.filter(
+      graft.functions.BloomProbe.mightContain(urlBloom, col("doc_id")))
     val joined = scheduled
       .join(corpusPruned, scheduled("url") === corpusPruned("doc_id"), "left")
       .join(broadcast(in.hostDeaths), Seq("host"), "left")

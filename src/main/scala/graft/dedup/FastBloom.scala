@@ -72,6 +72,18 @@ final class FastBloom(val numBits: Long, val numHashes: Int, val words: Array[Lo
   def mightContainString(s: String): Boolean =
     s != null && mightContain(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Probe a UTF8String's bytes IN PLACE (xxhash64 over base+offset — no
+    * per-row byte-array copy). Bit-identical to [[mightContainString]] on
+    * the same text: a String's UTF-8 encoding is exactly the UTF8String's
+    * bytes. This is the hot-path probe the native
+    * [[graft.functions.FastBloomMightContain]] expression calls per row.
+    */
+  def mightContainUTF8(u: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val h1 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, FastBloom.Seed1)
+    val h2 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, h1)
+    mightContainHashes(h1, h2)
+  }
+
   /** Bulk word-wise OR; requires identical (numBits, numHashes). */
   def orInPlace(other: FastBloom): FastBloom = {
     require(other.numBits == numBits && other.numHashes == numHashes,
@@ -107,6 +119,12 @@ object FastBloom {
     val n = math.max(1L, expectedItems)
     val bits0 = math.max(64L,
       (-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Above ~1.37e11 bits the word count overflows Int and new Array[Long]
+    // would throw NegativeArraySizeException — fail with the fix named
+    // instead (this is exactly the multi-GB regime sharding exists for).
+    require(bits0 / 64 + 1 <= Int.MaxValue,
+      s"FastBloom too large: $bits0 bits (${bits0 / 8 / (1L << 30)} GiB) — " +
+        "raise seenShardBits or fpp")
     val numWords = ((bits0 + 63) / 64).toInt
     val bits = numWords.toLong * 64
     val k = math.max(1, math.round(bits.toDouble / n * math.log(2)).toInt)

@@ -73,15 +73,6 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
 
   private var shards: Array[FastBloom] = null
 
-  /** Spark's HashPartitioning pid for a fingerprint: must match
-    * `repartition(n, col("fingerprint"))` exactly so shard == partition.
-    */
-  private def shardOf(bytes: Array[Byte]): Int = {
-    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
-    ((h % nShards) + nShards) % nShards
-  }
-
   /** true iff a checkpointed filter valid for `latestSnapshot` AND the
     * current cfg sizing was found.
     */
@@ -138,11 +129,7 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
             Array.fill(n)(FastBloom.create(items, fpp))
           else acc0
           val bytes = r.getUTF8String(0).getBytes
-          val s = if (n == 1) 0 else {
-            val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-              bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
-            ((h % n) + n) % n
-          }
+          val s = if (n == 1) 0 else SeenSet.shardOf(bytes, n)
           acc(s).put(bytes)
           acc
         }
@@ -195,9 +182,11 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
       implicit spark: SparkSession): DataFrame = {
     if (nShards == 1) {
       val bc = spark.sparkContext.broadcast(shards(0))
-      val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
-      val definitelyNew = candidates.filter(!mightContain(col("fingerprint")))
-      val maybeSeen = candidates.filter(mightContain(col("fingerprint")))
+      // native codegen'd probe over the UTF8String bytes in place — no
+      // per-row String decode/encode (see BloomProbeExpressions)
+      val mightContain = graft.functions.BloomProbe.mightContain(bc, col("fingerprint"))
+      val definitelyNew = candidates.filter(!mightContain)
+      val maybeSeen = candidates.filter(mightContain)
       // exact authority for the (few) Bloom hits
       definitelyNew.unionByName(
         maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
@@ -207,14 +196,16 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
       // broadcast; shard id travels as a COLUMN — plan reorderings can
       // only cost locality, never correctness
       val bcs = shards.map(spark.sparkContext.broadcast(_))
-      val probe = udf((fp: String, s: Int) =>
-        fp != null && bcs(s).value.mightContainString(fp))
       val n = nShards
       val sharded = candidates
         .withColumn("_shard", pmod(hash(col("fingerprint")), lit(n)))
         .repartition(n, col("fingerprint"))
-      val definitelyNew = sharded.filter(!probe(col("fingerprint"), col("_shard")))
-      val maybeSeen = sharded.filter(probe(col("fingerprint"), col("_shard")))
+      // lazy per-task shard resolution keeps the one-broadcast-per-task
+      // residency bound (see ShardedFastBloomMightContain)
+      val probe = graft.functions.BloomProbe.mightContainSharded(
+        bcs, col("fingerprint"), col("_shard"))
+      val definitelyNew = sharded.filter(!probe)
+      val maybeSeen = sharded.filter(probe)
       definitelyNew.unionByName(
         maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
         .drop("_shard")
@@ -228,4 +219,18 @@ object SeenSet {
     * fail the check and trigger a rebuild).
     */
   private[dedup] val Magic: Int = 0x47534234
+
+  /** THE shard function — the single JVM-side definition of Spark's
+    * `HashPartitioning` pid for a UTF-8 fingerprint. Must stay equal to
+    * the column expression `pmod(hash(col("fingerprint")), lit(n))`
+    * (murmur3 seed 42, positive mod) used in [[SeenSet.filterNew]]'s
+    * sharded regime: the sharded-equivalence test in CrawlSpec is the
+    * drift detector. Lives in the companion so executor closures don't
+    * capture (and serialize) the filter-holding SeenSet instance.
+    */
+  private[dedup] def shardOf(bytes: Array[Byte], n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
+    ((h % n) + n) % n
+  }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -34,6 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class FastTerms(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // SQL-callable as `fast_terms`; without an input contract a non-string
+  // argument passes analysis and dies at runtime in TextOps.fastTerms —
+  // make misuse an analysis-time error instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     TextOps.fastTerms(input.asInstanceOf[UTF8String])

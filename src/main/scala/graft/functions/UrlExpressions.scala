@@ -1,7 +1,8 @@
 package graft.functions
 
-import graft.url.{Urls, EnqueueSeq}
+import graft.url.Urls
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
@@ -13,27 +14,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen — `doGenCode` emits a direct static call, no
   * serialization/Option boxing per row, null handling handled by the
   * generated null-check. Registered for SQL via [[UrlExpressions.register]].
+  *
+  * The static targets are UTF8String→UTF8String (see [[UrlOps]]): the
+  * common shapes are computed by a byte-level scan with NO String (or any
+  * per-row object beyond the small result) allocated — the profiled
+  * UTF8String→String→parse→String→UTF8String round-trip was the single
+  * largest allocation source in the crawl hot path (~600 GB sampled
+  * allocation per bench run, the attributed 8→32-core scaling wall).
+  * Anything the scan can't prove falls back to the String implementations
+  * in [[graft.url.Urls]], which remain the executable spec: UrlsSpec
+  * property-checks byte path ≡ String path on adversarial inputs, and the
+  * frozen crawl goldens pin the integration.
   */
 abstract class UrlStringExpression extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // SQL-callable; a non-string argument must fail analysis, not codegen
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
 
   /** fully-qualified static call target, e.g. "graft.functions.UrlOps.canon" */
   protected def staticCall: String
 
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(evalString(input.toString))
+    evalU(input.asInstanceOf[UTF8String])
 
-  protected def evalString(s: String): String
+  protected def evalU(s: UTF8String): UTF8String
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"UTF8String.fromString($staticCall($c.toString()))")
+    defineCodeGen(ctx, ev, c => s"$staticCall($c)")
 }
 
 case class CanonicalizeUrl(child: Expression) extends UrlStringExpression {
   override protected def staticCall: String = "graft.functions.UrlOps.canon"
-  override protected def evalString(s: String): String = Urls.canonicalize(s)
+  override protected def evalU(s: UTF8String): UTF8String = UrlOps.canon(s)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "canonicalize_url"
@@ -41,7 +57,7 @@ case class CanonicalizeUrl(child: Expression) extends UrlStringExpression {
 
 case class UrlFingerprint(child: Expression) extends UrlStringExpression {
   override protected def staticCall: String = "graft.functions.UrlOps.fingerprint"
-  override protected def evalString(s: String): String = Urls.fingerprint(s)
+  override protected def evalU(s: UTF8String): UTF8String = UrlOps.fingerprint(s)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "url_fingerprint"
@@ -49,7 +65,7 @@ case class UrlFingerprint(child: Expression) extends UrlStringExpression {
 
 case class UrlHost(child: Expression) extends UrlStringExpression {
   override protected def staticCall: String = "graft.functions.UrlOps.host"
-  override protected def evalString(s: String): String = Urls.hostOf(s)
+  override protected def evalU(s: UTF8String): UTF8String = UrlOps.host(s)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "url_host"
@@ -57,20 +73,320 @@ case class UrlHost(child: Expression) extends UrlStringExpression {
 
 case class UrlPath(child: Expression) extends UrlStringExpression {
   override protected def staticCall: String = "graft.functions.UrlOps.path"
-  override protected def evalString(s: String): String = Urls.pathOf(s)
+  override protected def evalU(s: UTF8String): UTF8String = UrlOps.path(s)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "url_path"
 }
 
-/** Static call targets for generated code (codegen can't reference Scala
-  * objects with $ mangling reliably — plain static forwarders).
+/** Static call targets for generated code, UTF8String-in/UTF8String-out.
+  *
+  * Byte-level scanning is codepoint-safe: every delimiter these scans key
+  * on (':', '/', '?', '#', '@', '.') is ASCII, and in valid UTF-8 the
+  * bytes of a multi-byte sequence all have the high bit set — an ASCII
+  * byte value can never occur mid-codepoint. Regions whose TRANSFORM is
+  * not byte-local (host lowercasing of non-ASCII, escape normalization,
+  * query re-sorting with escapes) fall back to the String spec path.
   */
 object UrlOps {
-  def canon(s: String): String = Urls.canonicalize(s)
-  def fingerprint(s: String): String = Urls.fingerprint(s)
-  def host(s: String): String = Urls.hostOf(s)
-  def path(s: String): String = Urls.pathOf(s)
+
+  // ---- equivalence guard: ASCII A-Z→a-z equals String.toLowerCase only
+  // outside tr/az locales (dotted/dotless i). The String spec path uses
+  // the default locale, so under those locales the byte path must defer.
+  private val asciiLowerSafe: Boolean = {
+    val lang = java.util.Locale.getDefault.getLanguage
+    lang != "tr" && lang != "az"
+  }
+
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** matches `Urls.split` port acceptance: `toIntOption.filter(0..65535)`
+    * over [from,to) — optional leading '+', all digits, value ≤ 65535.
+    */
+  private def validPort(bytes: Array[Byte], from0: Int, to: Int): Boolean = {
+    var from = from0
+    if (from < to && bytes(from) == '+') from += 1
+    if (from >= to) return false
+    var v = 0L
+    var i = from
+    while (i < to) {
+      if (!isDigit(bytes(i))) return false
+      if (v <= 65535L) v = v * 10 + (bytes(i) - '0')
+      i += 1
+    }
+    v <= 65535L
+  }
+
+  /** Authority scan result, packed to avoid a per-row object:
+    * (hostStart.toLong << 32) | hostEnd, or -1 when `Urls.split` would
+    * return None (bad scheme / empty host). Mirrors Urls.split exactly:
+    * trim, first "://", case-insensitive http/https, '#' then '?' then
+    * '/' splits, last '@' strips userinfo, last ':' + valid port strips
+    * the port (invalid port ⇒ the WHOLE host:port run is the host).
+    */
+  private def hostSpan(bytes: Array[Byte]): Long = {
+    var s = 0
+    var e = bytes.length
+    while (s < e && bytes(s) >= 0 && bytes(s) <= ' ') s += 1
+    while (e > s && bytes(e - 1) >= 0 && bytes(e - 1) <= ' ') e -= 1
+    // first "://"
+    var se = -1
+    var i = s
+    while (se == -1 && i + 2 < e) {
+      if (bytes(i) == ':' && bytes(i + 1) == '/' && bytes(i + 2) == '/') se = i
+      i += 1
+    }
+    if (se <= s) return -1L
+    // scheme ∈ {http, https}, case-insensitive
+    val schemeLen = se - s
+    val okScheme =
+      if (schemeLen == 4)
+        (bytes(s) | 0x20) == 'h' && (bytes(s + 1) | 0x20) == 't' &&
+          (bytes(s + 2) | 0x20) == 't' && (bytes(s + 3) | 0x20) == 'p'
+      else if (schemeLen == 5)
+        (bytes(s) | 0x20) == 'h' && (bytes(s + 1) | 0x20) == 't' &&
+          (bytes(s + 2) | 0x20) == 't' && (bytes(s + 3) | 0x20) == 'p' &&
+          (bytes(s + 4) | 0x20) == 's'
+      else false
+    if (!okScheme) return -1L
+    val restStart = se + 3
+    // '#' bounds the fragment, then '?' the query, then '/' the authority
+    var aapEnd = e
+    i = restStart
+    while (i < aapEnd) { if (bytes(i) == '#') aapEnd = i else i += 1 }
+    var apEnd = aapEnd
+    i = restStart
+    while (i < apEnd) { if (bytes(i) == '?') apEnd = i else i += 1 }
+    var authEnd = apEnd
+    i = restStart
+    while (i < authEnd) { if (bytes(i) == '/') authEnd = i else i += 1 }
+    // strip userinfo: last '@'
+    var hpStart = restStart
+    i = authEnd - 1
+    while (i >= restStart && hpStart == restStart) {
+      if (bytes(i) == '@') hpStart = i + 1 else i -= 1
+    }
+    // strip a VALID port at the last ':'
+    var hostEnd = authEnd
+    i = authEnd - 1
+    var colon = -1
+    while (i >= hpStart && colon == -1) {
+      if (bytes(i) == ':') colon = i else i -= 1
+    }
+    if (colon != -1 && validPort(bytes, colon + 1, authEnd)) hostEnd = colon
+    if (hostEnd <= hpStart) -1L
+    else (hpStart.toLong << 32) | hostEnd.toLong
+  }
+
+  /** url_host: lowercased host or "". Byte path unless the host region
+    * contains non-ASCII (String.toLowerCase Unicode semantics) or the
+    * locale makes ASCII lowering unsafe.
+    */
+  def host(u: UTF8String): UTF8String = {
+    val bytes = u.getBytes
+    val span = hostSpan(bytes)
+    if (span == -1L) return UTF8String.EMPTY_UTF8
+    val hs = (span >>> 32).toInt
+    val he = (span & 0xffffffffL).toInt
+    if (!asciiLowerSafe) return UTF8String.fromString(Urls.hostOf(u.toString))
+    var i = hs
+    var needsLower = false
+    while (i < he) {
+      val b = bytes(i)
+      if (b < 0) return UTF8String.fromString(Urls.hostOf(u.toString))
+      if (b >= 'A' && b <= 'Z') needsLower = true
+      i += 1
+    }
+    val out = java.util.Arrays.copyOfRange(bytes, hs, he)
+    if (needsLower) {
+      var k = 0
+      while (k < out.length) {
+        if (out(k) >= 'A' && out(k) <= 'Z') out(k) = (out(k) + 32).toByte
+        k += 1
+      }
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** url_path: the raw path component ('/' default) — returned verbatim,
+    * so non-ASCII path bytes need no fallback; validity (scheme + host)
+    * reuses the authority scan.
+    */
+  def path(u: UTF8String): UTF8String = {
+    val bytes = u.getBytes
+    if (hostSpan(bytes) == -1L) return UrlOps.Slash
+    var s = 0
+    var e = bytes.length
+    while (s < e && bytes(s) >= 0 && bytes(s) <= ' ') s += 1
+    while (e > s && bytes(e - 1) >= 0 && bytes(e - 1) <= ' ') e -= 1
+    var se = -1
+    var i = s
+    while (se == -1 && i + 2 < e) {
+      if (bytes(i) == ':' && bytes(i + 1) == '/' && bytes(i + 2) == '/') se = i
+      i += 1
+    }
+    val restStart = se + 3
+    var aapEnd = e
+    i = restStart
+    while (i < aapEnd) { if (bytes(i) == '#') aapEnd = i else i += 1 }
+    var apEnd = aapEnd
+    i = restStart
+    while (i < apEnd) { if (bytes(i) == '?') apEnd = i else i += 1 }
+    var slash = -1
+    i = restStart
+    while (slash == -1 && i < apEnd) { if (bytes(i) == '/') slash = i else i += 1 }
+    if (slash == -1 || slash == apEnd) UrlOps.Slash
+    else UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, slash, apEnd))
+  }
+
+  private val Slash = UTF8String.fromString("/")
+  private val GetPrefix = "GET ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val HexBytes = "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Canonical-shape classifier over trimmed-equal input:
+    *   0  → `canonicalize(s) == s` (identity)
+    *   1  → `canonicalize(s) == s + "/"` (authority-only URL)
+    *   -1 → unproven: take the String spec path
+    *
+    * Proven shape: exact lowercase "http(s)://", host of [a-z0-9.-]+ (no
+    * port, no userinfo — canonicalize might rewrite either), then either
+    * end-of-string, or a path of printable ASCII (no '%': escape
+    * normalization; no space: only because the scan stays conservative)
+    * with no "." / ".." segments, optionally followed by "?" + an
+    * already-(key,value)-sorted plain query with no empty '&' components.
+    * Every excluded byte is one `canonicalize` could rewrite; everything
+    * admitted is provably fixed-point (normalizeEscapes no-op without
+    * '%', removeDotSegments identity without dot segments, query join
+    * identity when components are nonempty and sorted).
+    */
+  private def canonicalShape(bytes: Array[Byte]): Int = {
+    val n = bytes.length
+    if (n == 0) return -1
+    if ((bytes(0) >= 0 && bytes(0) <= ' ') || (bytes(n - 1) >= 0 && bytes(n - 1) <= ' '))
+      return -1
+    if (!asciiLowerSafe) return -1
+    // exact lowercase scheme prefix
+    var i = 0
+    if (n > 7 && bytes(0) == 'h' && bytes(1) == 't' && bytes(2) == 't' && bytes(3) == 'p') {
+      if (bytes(4) == ':' && bytes(5) == '/' && bytes(6) == '/') i = 7
+      else if (n > 8 && bytes(4) == 's' && bytes(5) == ':' && bytes(6) == '/' && bytes(7) == '/') i = 8
+      else return -1
+    } else return -1
+    // host: [a-z0-9.-]+
+    val hostStart = i
+    var b: Byte = 0
+    while (i < n && { b = bytes(i); (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == '.' || b == '-' }) i += 1
+    if (i == hostStart) return -1
+    if (i == n) return 1 // no path: canonical appends "/"
+    if (bytes(i) != '/') return -1 // ':' '@' '?' '#' uppercase … all bail
+    // path: printable ASCII minus '%'; watch for dot segments
+    while (i < n && bytes(i) != '?') {
+      b = bytes(i)
+      if (b <= ' ' || b == '%' || b == '#' || b == 0x7f) return -1
+      if (b == '/' && i + 1 < n && bytes(i + 1) == '.') {
+        if (i + 2 == n || bytes(i + 2) == '/' || bytes(i + 2) == '?') return -1
+        if (bytes(i + 2) == '.' && (i + 3 == n || bytes(i + 3) == '/' || bytes(i + 3) == '?')) return -1
+      }
+      i += 1
+    }
+    if (i == n) return 0
+    // query: '&'-separated nonempty plain components, sorted by (key, value)
+    i += 1 // past '?'
+    if (i == n) return -1 // trailing "?" — canonicalize drops it
+    var prevStart = -1
+    var prevEnd = -1
+    var compStart = i
+    while (i <= n) {
+      if (i == n || bytes(i) == '&') {
+        if (i == compStart) return -1 // empty component — canonicalize drops it
+        if (prevStart != -1 && compareKv(bytes, prevStart, prevEnd, compStart, i) > 0)
+          return -1 // out of order — canonicalize re-sorts
+        prevStart = compStart; prevEnd = i
+        compStart = i + 1
+      } else {
+        b = bytes(i)
+        if (b <= ' ' || b == '%' || b == '#' || b == 0x7f) return -1
+      }
+      i += 1
+    }
+    0
+  }
+
+  /** compare query components as (key, value-or-"") pairs, byte-wise —
+    * equals the spec path's `sortBy((k, v.getOrElse("")))` on ASCII.
+    */
+  private def compareKv(bytes: Array[Byte], aS: Int, aE: Int, bS: Int, bE: Int): Int = {
+    var aEq = aE
+    var i = aS
+    while (i < aE && aEq == aE) { if (bytes(i) == '=') aEq = i else i += 1 }
+    var bEq = bE
+    i = bS
+    while (i < bE && bEq == bE) { if (bytes(i) == '=') bEq = i else i += 1 }
+    val c = compareRange(bytes, aS, aEq, bS, bEq)
+    if (c != 0) c
+    else {
+      val aVs = if (aEq == aE) aE else aEq + 1
+      val bVs = if (bEq == bE) bE else bEq + 1
+      compareRange(bytes, aVs, aE, bVs, bE)
+    }
+  }
+
+  private def compareRange(bytes: Array[Byte], aS: Int, aE: Int, bS: Int, bE: Int): Int = {
+    var i = aS
+    var j = bS
+    while (i < aE && j < bE) {
+      if (bytes(i) != bytes(j)) return (bytes(i) & 0xff) - (bytes(j) & 0xff)
+      i += 1; j += 1
+    }
+    (aE - aS) - (bE - bS)
+  }
+
+  /** canonicalize_url. Identity shape returns the INPUT UTF8String —
+    * zero bytes moved for the dominant already-canonical case (every URL
+    * that came out of `Urls.resolve` is canonical by construction).
+    */
+  def canon(u: UTF8String): UTF8String = {
+    val bytes = u.getBytes
+    canonicalShape(bytes) match {
+      case 0 => u
+      case 1 =>
+        val out = java.util.Arrays.copyOf(bytes, bytes.length + 1)
+        out(bytes.length) = '/'
+        UTF8String.fromBytes(out)
+      case _ => UTF8String.fromString(Urls.canonicalize(u.toString))
+    }
+  }
+
+  // one SHA-1 digest per thread (see Urls.sha1Local: a per-row
+  // getInstance takes a Provider lock that serializes 32 threads)
+  private val sha1Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
+  /** url_fingerprint = sha1Hex("GET " + canonicalize(url)) with zero
+    * String allocation on the canonical shape: digest "GET " + the raw
+    * bytes (+ '/'), hex straight into an ASCII byte array.
+    */
+  def fingerprint(u: UTF8String): UTF8String = {
+    val bytes = u.getBytes
+    val shape = canonicalShape(bytes)
+    if (shape < 0) return UTF8String.fromString(Urls.fingerprint(u.toString))
+    val md = sha1Local.get()
+    md.reset()
+    md.update(GetPrefix)
+    md.update(bytes)
+    if (shape == 1) md.update('/'.toByte)
+    val d = md.digest()
+    val out = new Array[Byte](40)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexBytes((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexBytes(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 object UrlExpressions {

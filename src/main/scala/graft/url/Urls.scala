@@ -220,7 +220,19 @@ object Urls {
 
   private def resolveFast(base: String, h: String): Option[String] = {
     var k = 0
-    while (k < h.length) { if (!plainRefChar(h.charAt(k))) return None; k += 1 }
+    while (k < h.length) {
+      val c = h.charAt(k)
+      if (!plainRefChar(c)) return None
+      // java.net.URI rejects malformed percent-escapes ("50%off", "%zz",
+      // trailing "a%2") with IAE — the caller then drops the link. A bare
+      // '%' accepted here would make the fast path KEEP what the spec path
+      // drops, so require %HH or fall back.
+      if (c == '%') {
+        if (k + 2 >= h.length || !isHex(h.charAt(k + 1)) || !isHex(h.charAt(k + 2)))
+          return None
+      }
+      k += 1
+    }
     val schemeEnd = base.indexOf("://")
     if (schemeEnd <= 0) return None
     val authStart = schemeEnd + 3
