@@ -176,7 +176,12 @@ final class CrawlLoop(
         corpus = corpus,
         corpusHosts = corpusHosts,
         robots = gate,
-        hostDeaths = hostDeaths)
+        hostDeaths = hostDeaths,
+        // after the first prefix-partitioned compaction, the exact
+        // anti-join reads only the touched prefix partitions
+        seenPruner = store.prefixInfo("seen").map { case (_, len) =>
+          SeenSet.Pruner(len, pfx => store.readPrefixPruned("seen", pfx).get)
+        })
       // termination check (and first-round fallback for the Bloom hint)
       val frontierRows = timed(r, "frontier_count") {
         frontierRowsNext.getOrElse(in.frontier.count())
@@ -221,7 +226,9 @@ final class CrawlLoop(
       schedHintNext = Some(out.scheduledCount)
       frontierRowsNext = Some(frontierObs.get("rows").asInstanceOf[Long])
       if (r % cfg.compactEveryRounds == 0) {
-        store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets)
+        store.compact(r, "seen", Seq("fingerprint"), buckets = cfg.saltBuckets,
+          hashPrefix = if (cfg.seenPrefixLen > 0)
+            Some(("fingerprint", cfg.seenPrefixLen)) else None)
         // FTS index maintenance on the same cadence: collapse the RAW
         // per-round postings to unique (term, url, host) — latest
         // observation round, title flag preserved — and cluster by term

@@ -34,7 +34,10 @@ final case class RoundInputs(
     /** prepared ONCE per run by the loop (one collect/aggregation for the
       * whole crawl, not one per round). */
     robots: RobotsGate,
-    hostDeaths: DataFrame)
+    hostDeaths: DataFrame,
+    /** prefix-pruned access to the committed seen table (None = full
+      * reads; see SeenSet.filterNew / SnapshotStore.readPrefixPruned). */
+    seenPruner: Option[graft.dedup.SeenSet.Pruner] = None)
 
 final case class RoundOutputs(
     frontierNext: DataFrame,
@@ -286,7 +289,7 @@ object Round {
 
     // two-phase bloom + exact anti-join vs seen (J2); cached — consumed by
     // crap detection (with a collect), seen delta, frontier and metrics
-    val fresh0 = seenSet.filterNew(bestPerFp, in.seen).localCheckpoint(false)
+    val fresh0 = seenSet.filterNew(bestPerFp, in.seen, in.seenPruner).localCheckpoint(false)
 
     // subdomain-spam (is_crap) detection on the fresh candidate hosts —
     // the (tiny) bomb-base set stays distributed: a broadcast anti-join

@@ -177,8 +177,34 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The exact-authority side of the anti-join. With a [[SeenSet.Pruner]]
+    * (prefix-partitioned compact base, SnapshotStore.readPrefixPruned) the
+    * join reads ONLY the fingerprint-prefix partitions the Bloom-positive
+    * candidates actually touch — at a 10^10-row seen table the full-table
+    * shuffle this replaces is the single largest recurring cost of a
+    * steady-state round. The prefix set costs one tiny extra job over the
+    * (cached) candidates; when it covers ≥ 3/4 of the prefix space the
+    * pruned read would not beat the full scan, so fall back. EXACTNESS:
+    * the pruned read returns every committed row whose prefix is probed
+    * (base partitioning is total on the prefix; deltas are read whole),
+    * so the anti-join drops exactly the same candidates either way.
+    */
+  private def exactSide(maybeSeen: DataFrame, seen: DataFrame,
+      pruner: Option[SeenSet.Pruner]): DataFrame =
+    pruner match {
+      case Some(p) if p.prefixLen > 0 =>
+        val space = 1 << (4 * math.min(7, p.prefixLen)) // hex chars
+        val pfx = maybeSeen
+          .select(substring(col("fingerprint"), 1, p.prefixLen).as("_p"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        if (pfx.length.toLong * 4 >= space.toLong * 3) seen
+        else p.read(pfx)
+      case _ => seen
+    }
+
   /** candidates minus seen; `candidates` must carry `fingerprint`. */
-  def filterNew(candidates: DataFrame, seen: DataFrame)(
+  def filterNew(candidates: DataFrame, seen: DataFrame,
+      pruner: Option[SeenSet.Pruner] = None)(
       implicit spark: SparkSession): DataFrame = {
     if (nShards == 1) {
       val bc = spark.sparkContext.broadcast(shards(0))
@@ -189,7 +215,8 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
       val maybeSeen = candidates.filter(mightContain)
       // exact authority for the (few) Bloom hits
       definitelyNew.unionByName(
-        maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+        maybeSeen.join(exactSide(maybeSeen, seen, pruner).select("fingerprint"),
+          Seq("fingerprint"), "left_anti"))
     } else {
       // sharded: co-partition candidates with the shard function, so each
       // task probes (and each executor fetches) exactly one shard
@@ -207,7 +234,8 @@ final class SeenSet(cfg: CrawlConfig, stateDir: String, latestSnapshot: Option[I
       val definitelyNew = sharded.filter(!probe)
       val maybeSeen = sharded.filter(probe)
       definitelyNew.unionByName(
-        maybeSeen.join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+        maybeSeen.join(exactSide(maybeSeen, seen, pruner).select("fingerprint"),
+          Seq("fingerprint"), "left_anti"))
         .drop("_shard")
     }
   }
@@ -233,4 +261,12 @@ object SeenSet {
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
     ((h % n) + n) % n
   }
+
+  /** Prefix-pruned access to the committed seen table (see
+    * [[SeenSet.filterNew]]): `read(prefixes)` must return every committed
+    * row whose fingerprint starts with one of `prefixes` (supersets are
+    * fine — extra rows can only drop candidates that ARE seen).
+    * Store-backed: `SnapshotStore.readPrefixPruned("seen", _)`.
+    */
+  final case class Pruner(prefixLen: Int, read: Seq[String] => org.apache.spark.sql.DataFrame)
 }

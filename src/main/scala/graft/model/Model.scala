@@ -118,7 +118,14 @@ final case class CrawlConfig(
     /** seen-filter shards = 2^bits (SeenSet scaladoc): 0 = one filter,
       * map-side probe (default); >0 = per-shard broadcasts with
       * co-partitioned probes for the 10^10 multi-GB-filter regime. */
-    seenShardBits: Int = 0) {
+    seenShardBits: Int = 0,
+    /** compacted `seen` is laid out in 16^len fingerprint-prefix
+      * partitions so the exact anti-join reads ONLY the partitions its
+      * Bloom-positive candidates touch instead of re-shuffling the full
+      * 10^10-row table every round (SnapshotStore.compact hashPrefix +
+      * SeenSet.filterNew). 2 ⇒ 256 dirs (sandbox default); 3 ⇒ 4096
+      * (~2.4M rows/dir at 10^10 — the 100-TB setting). 0 disables. */
+    seenPrefixLen: Int = 2) {
 
   /** budget(host) = min(max(1, floor(roundWindow / crawlDelay(host))),
     * floor(roundWindow / minDelaySec)) — the upper clamp mirrors

@@ -46,6 +46,10 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
   private def manifestPath(snap: Int): Path = root.resolve(f"_snap-$snap%06d.json")
   private def latestPath: Path = root.resolve("_latest")
   private val SchemaKey = "_schema:"
+  /** marker: table's compact base is hash-prefix partitioned —
+    * `_pfxlen:t -> [srcCol, len]` (partition dirs `_pfx=<prefix>`). */
+  private val PrefixKey = "_pfxlen:"
+  private val PrefixCol = "_pfx"
 
   def latestSnapshot: Option[Int] =
     if (Files.exists(latestPath)) Some(Files.readString(latestPath).trim.toInt) else None
@@ -148,6 +152,20 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
         val schema = StructType.fromDDL(ddl)
         if (present.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else if (m.contains(PrefixKey + table)) {
+          // prefix-partitioned compact base + flat delta dirs cannot share
+          // one multi-path read (inconsistent partition discovery): read
+          // the groups separately, drop the discovered partition column,
+          // union — logically identical to the flat layout
+          val (base, flat) = present.partition(_.contains(s"/$table/compact-"))
+          val parts = Seq(
+            if (base.nonEmpty) Some(spark.read.schema(schema).parquet(base: _*)
+              .drop(PrefixCol).select(schema.fieldNames.map(
+                org.apache.spark.sql.functions.col): _*)) else None,
+            if (flat.nonEmpty) Some(spark.read.schema(schema).parquet(flat: _*)) else None
+          ).flatten
+          parts.reduce(_ unionByName _)
+        }
         // explicit schema: selects exactly the table's columns out of the
         // null-padded combined files, types pinned, no inference I/O
         else spark.read.schema(schema).parquet(present: _*)
@@ -156,8 +174,52 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     }
   }
 
+  /** (source column, prefix length) when `table`'s compact base is
+    * hash-prefix partitioned in the LATEST snapshot.
+    */
+  def prefixInfo(table: String): Option[(String, Int)] =
+    latestSnapshot.flatMap(s => readManifest(s).get(PrefixKey + table))
+      .collect { case Seq(colName, len) => (colName, len.toInt) }
+
+  /** Prefix-pruned point-lookup read (latest snapshot): rows of `table`
+    * whose source-column prefix ∈ `prefixes` — reads ONLY those
+    * `_pfx=` partition dirs of the compact base — plus ALL rows of the
+    * un-compacted delta dirs (not prefix-laid-out, bounded by the
+    * compaction cadence). EXACT for membership tests on those prefixes:
+    * the base partitioning is total on the prefix, so every row with a
+    * probed prefix is either in a selected dir or in a delta. None when
+    * the table has no prefix layout (caller falls back to the full read).
+    */
+  def readPrefixPruned(table: String, prefixes: Seq[String]): Option[DataFrame] = {
+    if (!latestSnapshot.exists(s => readManifest(s).contains(PrefixKey + table)))
+      return None
+    val snap = latestSnapshot.get
+    val m = readManifest(snap)
+    val schema = StructType.fromDDL(m(SchemaKey + table).head)
+    val (baseDirs, flatDirs) = m(table).partition(_.startsWith(s"$table/compact-"))
+    val leaves = for {
+      d <- baseDirs
+      p <- prefixes
+      leaf = root.resolve(d).resolve(s"$PrefixCol=$p")
+      if Files.exists(leaf)
+    } yield leaf.toString
+    val flats = flatDirs.map(d => root.resolve(d).toString)
+      .filter(d => Files.exists(Paths.get(d)))
+    // leaf dirs contain the logical columns only (partitionBy strips the
+    // partition col from the files), so both groups read schema-identical
+    val parts = Seq(
+      if (leaves.nonEmpty) Some(spark.read.schema(schema).parquet(leaves: _*)) else None,
+      if (flats.nonEmpty) Some(spark.read.schema(schema).parquet(flats: _*)) else None
+    ).flatten
+    Some(
+      if (parts.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else parts.reduce(_ unionByName _))
+  }
+
   def tablesAt(snap: Int): Set[String] =
-    readManifest(snap).keySet.filterNot(_.startsWith(SchemaKey))
+    readManifest(snap).keySet
+      .filterNot(k => k.startsWith(SchemaKey) || k.startsWith(PrefixKey))
 
   /** Bin-pack an append table's deltas into one directory sorted by
     * `sortCols` (keeps the 10^10-row `seen` anti-join input clustered by
@@ -169,25 +231,44 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     * duplicate FTS postings — and runs AFTER `retain`; it must preserve
     * the table's schema.
     */
+  /** `hashPrefix = Some((srcCol, len))` additionally lays the compacted
+    * base out as `_pfx=<substring(srcCol, 1, len)>` partition dirs (hex
+    * key ⇒ 16^len dirs) — the physical index behind [[readPrefixPruned]].
+    * The range partitioning on `sortCols` keeps each write task's rows
+    * contiguous in the key, so a task touches ~1 prefix dir and the file
+    * count stays ≈ max(buckets, 16^len), not buckets × 16^len.
+    */
   def compact(
       snap: Int,
       table: String,
       sortCols: Seq[String],
       buckets: Int,
       retain: Option[Column] = None,
-      rewrite: Option[DataFrame => DataFrame] = None): Unit = {
+      rewrite: Option[DataFrame => DataFrame] = None,
+      hashPrefix: Option[(String, Int)] = None): Unit = {
     val df0 = read(table)
     val df1 = retain.map(df0.filter).getOrElse(df0)
     val df = rewrite.map(_.apply(df1)).getOrElse(df1)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, substring}
     val rel = f"$table/compact-$snap%06d"
-    df.repartitionByRange(buckets, sortCols.map(col): _*)
+    val laid = df.repartitionByRange(buckets, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(root.resolve(rel).toString)
+    hashPrefix match {
+      case Some((src, len)) =>
+        laid.withColumn(PrefixCol, substring(col(src), 1, len))
+          .write.mode("overwrite").partitionBy(PrefixCol)
+          .parquet(root.resolve(rel).toString)
+      case None =>
+        laid.write.mode("overwrite").parquet(root.resolve(rel).toString)
+    }
     val prev = latestSnapshot.map(readManifest).getOrElse(Map.empty)
-    val entries = prev
+    val entries0 = prev
       .updated(table, Seq(rel))
       .updated(SchemaKey + table, Seq(df.schema.toDDL))
+    val entries = hashPrefix match {
+      case Some((src, len)) => entries0.updated(PrefixKey + table, Seq(src, len.toString))
+      case None             => entries0 - (PrefixKey + table)
+    }
     commitManifest(snap, entries)
   }
 

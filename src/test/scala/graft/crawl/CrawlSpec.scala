@@ -202,6 +202,34 @@ class CrawlSpec extends AnyFunSuite {
     assert(d1 == d2)
   }
 
+  test("prefix-partitioned seen: pruned read is exact and reads less than the full table") {
+    // mainStore ran 6 rounds at cadence 2 → last compaction at round 6
+    // wrote the prefix-partitioned base with no trailing deltas
+    assert(mainStore.prefixInfo("seen").contains(("fingerprint", 2)))
+    val full = seenFps(mainStore)
+    val prefixes = full.map(_.take(2))
+    assert(prefixes.size > 1, "fixture too small to exercise pruning")
+    val probe = prefixes.toSeq.sorted.take(math.max(1, prefixes.size / 4))
+    val pruned = mainStore.readPrefixPruned("seen", probe).get
+      .select("fingerprint").as[String].collect().toSet
+    // exact: every row with a probed prefix is present…
+    assert(full.filter(f => probe.contains(f.take(2))).subsetOf(pruned))
+    // …nothing outside the table sneaks in…
+    assert(pruned.subsetOf(full))
+    // …and the base really was pruned (fewer rows read than the table)
+    assert(pruned.size < full.size)
+    // schema identical to the logical table (partition column dropped)
+    assert(mainStore.readPrefixPruned("seen", probe).get.schema ==
+      mainStore.read("seen").schema)
+  }
+
+  test("prefix-pruned anti-join crawl ≡ prefixless crawl, byte-exact") {
+    val a = runCrawl(6, 4, cfg) // seenPrefixLen = 2 (default)
+    val b = runCrawl(6, 4, cfg.copy(seenPrefixLen = 0))
+    assert(logSeq(a) == logSeq(b))
+    assert(seenFps(a) == seenFps(b))
+  }
+
   test("retention TTL: expired page rows vanish at compaction; crawl continues") {
     val store = runCrawl(rounds = 6, partitions = 4,
       c = cfg.copy(pageTtlRounds = 2, compactEveryRounds = 2))
