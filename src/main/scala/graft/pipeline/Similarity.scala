@@ -193,11 +193,23 @@ object Similarity {
       nClusters: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cdf = broadcast(
-      kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
-        .toDF("cluster_id", "cvec"))
-    val index = corpus
-      .crossJoin(cdf)
+    val cdf = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+      .toDF("cluster_id", "cvec")
+    probeIndex(assignToCentroids(corpus, cdf, idCol, vecCol), cdf,
+      queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** The IVF inverted lists: each corpus vector assigned ONCE to its
+    * max-cosine centroid — `(nn_id, nn_vec, cluster_id)`. Pure function
+    * of (corpus, centroids): the committed-index build, the incremental
+    * append and the inline [[ivfTopK]] all share it, which is what makes
+    * committed ≡ rebuilt an identity (PipelineSpec pins it).
+    */
+  def assignToCentroids(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus
+      .crossJoin(broadcast(centroids))
       .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 9))
       .groupBy(col(idCol))
       .agg(
@@ -205,6 +217,15 @@ object Similarity {
           struct((lit(1.0) - col("sim")).as("d"), col("cluster_id"))).as("cluster_id"),
         first(col(vecCol)).as("nn_vec"))
       .select(col(idCol).as("nn_id"), col("nn_vec"), col("cluster_id"))
+
+  /** nProbe-list search over prebuilt inverted lists + centroids —
+    * the query-time half of IVF, shared by [[ivfTopK]] (fresh index) and
+    * [[IvfIndex.probe]] (committed index).
+    */
+  def probeIndex(
+      index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cdf = broadcast(centroids)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("cluster_id").asc)
     val qprobe = queries

@@ -107,6 +107,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF probe over the COMMITTED index tables (ann_centroids +
+    // ann_index in a SnapshotStore) — row-identical to ann03 by
+    // construction (shared assign/probe plans; PipelineSpec pins it,
+    // plus the incremental-append contract). rows-only: xxhash64 seeds.
+    "ann04_ivf_committed" -> ((s, d) => {
+      val e = embs(s, d)
+      val store = new graft.store.SnapshotStore(
+        java.nio.file.Files.createTempDirectory("ann-index").toString, s)
+      graft.pipeline.IvfIndex.build(store, 0, e, "vec_id", "embedding", nClusters = 8)
+      graft.pipeline.IvfIndex.probe(store, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // token counting — FULL oracle
     "ta01_token_stats" -> ((s, d) => {
       TextAnalysis.tokenStats(docs(s, d), "doc_id", "text")

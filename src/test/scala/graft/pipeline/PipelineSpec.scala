@@ -127,6 +127,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 2, s"top-1 recall $hits/5 at nProbe=2 — quantizer broken")
   }
 
+  test("COMMITTED IVF index: probe ≡ fresh ivfTopK; incremental append ≡ assignment against frozen centroids") {
+    import graft.store.SnapshotStore
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+      df.select("query_id", "nn_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+
+    // committed ≡ rebuilt: probe over the snapshot tables is IDENTICAL
+    // to the inline build-per-call twin
+    val store = new SnapshotStore(
+      java.nio.file.Files.createTempDirectory("ivf").toString, spark)
+    IvfIndex.build(store, 0, e, "vec_id", "embedding", nClusters = 8)
+    val committed = rows(IvfIndex.probe(store, q, "vec_id", "embedding", k = 5, nProbe = 2))
+    val fresh = rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 2))
+    assert(committed == fresh, "committed-index probe drifted from fresh build")
+
+    // incremental append: build on part A, append part B ⇒ index holds
+    // exactly assignToCentroids(A ∪ B, centroids(A)); probes agree
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 === 1)
+    val store2 = new SnapshotStore(
+      java.nio.file.Files.createTempDirectory("ivf2").toString, spark)
+    IvfIndex.build(store2, 0, a, "vec_id", "embedding", nClusters = 8)
+    IvfIndex.append(store2, 1, b, "vec_id", "embedding")
+    val centsA = store2.read(IvfIndex.CentroidsTable)
+    val wantIndex = Similarity.assignToCentroids(e, centsA, "vec_id", "embedding")
+      .as[(Long, Seq[Float], Int)].collect().toSet
+    val gotIndex = store2.read(IvfIndex.IndexTable)
+      .as[(Long, Seq[Float], Int)].collect().toSet
+    assert(gotIndex == wantIndex, "incremental index ≠ full assignment against frozen centroids")
+    val gotProbe = rows(IvfIndex.probe(store2, q, "vec_id", "embedding", k = 5, nProbe = 2))
+    val wantProbe = rows(Similarity.probeIndex(
+      Similarity.assignToCentroids(e, centsA, "vec_id", "embedding"), centsA,
+      q, "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(gotProbe == wantProbe)
+  }
+
   test("token stats values") {
     val df = Seq((1L, "Hello, world! 42"), (2L, "  spaced   out  ")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
