@@ -54,17 +54,31 @@ final case class BroadcastMapGate(
   }
 }
 
-/** Large-rule-set path: per-host sorted rule arrays broadcast-joined;
-  * longest matching prefix via array higher-order functions (map-side,
-  * no frontier shuffle, no driver materialization).
+/** Large-rule-set path: per-host sorted rule arrays joined to the
+  * frontier; longest matching prefix via array higher-order functions.
+  * Two regimes on the SAME plan shape (semantically identical, RobotsSpec
+  * asserts row equality):
+  *
+  *   - `broadcastSide = true` (hosts fit an executor broadcast): the rule
+  *     table broadcasts — map-side, zero frontier shuffle.
+  *   - `broadcastSide = false` (host count above the broadcast bound — a
+  *     rule set too big for a driver map is eventually too big for an
+  *     8 GB broadcast too): SHUFFLE_HASH join on host. This is the ONE
+  *     gate regime that shuffles the frontier; the cost is explicit and
+  *     chosen only when the alternative is an executor-OOM-scale
+  *     broadcast. The frontier shuffle is on `host` — the same key the
+  *     politeness schedule partitions by downstream.
   */
-final case class JoinGate(perHost: DataFrame, defaultDelay: Double) extends RobotsGate {
+final case class JoinGate(
+    perHost: DataFrame, defaultDelay: Double,
+    broadcastSide: Boolean = true) extends RobotsGate {
   def apply(frontier: DataFrame): DataFrame = {
     val path = graft.functions.UrlExpressions.url_path(col("url"))
     val hit = element_at(
       filter(col("_rules"), r => path.startsWith(r.getField("prefix"))), 1)
+    val ruleSide = if (broadcastSide) broadcast(perHost) else perHost.hint("shuffle_hash")
     frontier
-      .join(broadcast(perHost), Seq("host"), "left")
+      .join(ruleSide, Seq("host"), "left")
       .withColumn("robots_allowed", coalesce(hit.getField("allow"), lit(true)))
       .withColumn("crawl_delay",
         when(hit.getField("delay") > 0, hit.getField("delay"))
@@ -75,15 +89,22 @@ final case class JoinGate(perHost: DataFrame, defaultDelay: Double) extends Robo
 
 object Robots {
 
-  /** Resolve the gate ONCE per run. `maxBroadcastRules` bounds the
-    * driver-collected path; above it the join path engages.
+  /** Resolve the gate ONCE per run, three regimes by measured size:
+    * ≤ `maxBroadcastRules` rules → driver map broadcast (zero shuffle);
+    * above it, ≤ `maxBroadcastHosts` per-host rows → broadcast join
+    * (zero frontier shuffle); above THAT → shuffle-hash join on host
+    * (the only regime that shuffles the frontier — see JoinGate). The
+    * host default (2^22 rows of host + rule array) keeps the broadcast
+    * comfortably under executor-memory scale before the shuffle regime
+    * engages.
     */
   def prepare(
       rules: Dataset[RobotsRule],
       cfg: CrawlConfig,
-      maxBroadcastRules: Long = 1L << 20)(implicit spark: SparkSession): RobotsGate =
+      maxBroadcastRules: Long = 1L << 20,
+      maxBroadcastHosts: Long = 1L << 22)(implicit spark: SparkSession): RobotsGate =
     if (rules.count() <= maxBroadcastRules) prepareBroadcastMap(rules, cfg)
-    else prepareJoin(rules, cfg)
+    else prepareJoin(rules, cfg, maxBroadcastHosts)
 
   /** Duplicate identical (host, path_prefix) rules would otherwise be
     * tie-broken differently by the two paths' sort keys (map: prefix asc;
@@ -118,13 +139,15 @@ object Robots {
     BroadcastMapGate(spark.sparkContext.broadcast(byHost), cfg.defaultCrawlDelaySec)
   }
 
-  /** Scale path: per-host sorted rule arrays (len desc), no collect; the
-    * per-host aggregate materializes inside the first consuming job and
-    * is cached for the whole run.
+  /** Scale path: per-host sorted rule arrays (len desc), no collect,
+    * cached for the whole run. The host count (one job over the
+    * about-to-be-reused cache) picks broadcast vs shuffle-hash — the
+    * third regime's bound (see [[prepare]]).
     */
   def prepareJoin(
       rules: Dataset[RobotsRule],
-      cfg: CrawlConfig)(implicit spark: SparkSession): RobotsGate = {
+      cfg: CrawlConfig,
+      maxBroadcastHosts: Long = 1L << 22)(implicit spark: SparkSession): RobotsGate = {
     val perHost = dedupPerPrefix(rules).toDF()
       .groupBy(col("host"))
       .agg(reverse(array_sort(collect_list(struct(
@@ -133,6 +156,7 @@ object Robots {
         col("allow").as("allow"),
         col("crawl_delay").as("delay"))))).as("_rules"))
       .persist()
-    JoinGate(perHost, cfg.defaultCrawlDelaySec)
+    JoinGate(perHost, cfg.defaultCrawlDelaySec,
+      broadcastSide = perHost.count() <= maxBroadcastHosts)
   }
 }

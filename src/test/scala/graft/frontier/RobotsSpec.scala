@@ -37,9 +37,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(a.exists(r => !r.getBoolean(1)))
   }
 
+  /** executedPlan under AQE is an AdaptiveSparkPlanExec LEAF — collect()
+    * never descends into it, silently emptying any plan assertion. Pull
+    * the current inner plan out first.
+    */
+  private def innerPlan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("neither path shuffles the frontier (its rows never cross an exchange)") {
     for (gate <- Seq(Robots.prepareBroadcastMap(rules, cfg), Robots.prepareJoin(rules, cfg))) {
-      val plan = gate(frontier).queryExecution.executedPlan
+      val plan = innerPlan(gate(frontier))
       // a shuffle on the (tiny, once-per-run) rules aggregation is fine;
       // a shuffle whose subtree contains the frontier leaf is not
       val offending = plan.collect {
@@ -55,5 +66,28 @@ class RobotsSpec extends AnyFunSuite {
       .isInstanceOf[BroadcastMapGate])
     assert(Robots.prepare(rules, cfg, maxBroadcastRules = 1L)
       .isInstanceOf[JoinGate])
+  }
+
+  test("third regime (shuffle-hash above the broadcast-host bound): identical gate, SHJ plan") {
+    // force the bound below the fixture's host count
+    val shuffled = Robots.prepare(rules, cfg,
+      maxBroadcastRules = 1L, maxBroadcastHosts = 1L)
+    assert(shuffled match {
+      case JoinGate(_, _, broadcastSide) => !broadcastSide
+      case _                             => false
+    })
+    val want = Robots.prepareBroadcastMap(rules, cfg).apply(frontier)
+      .orderBy("url").select("url", "robots_allowed", "crawl_delay").collect().toSeq
+    val got = shuffled(frontier)
+      .orderBy("url").select("url", "robots_allowed", "crawl_delay").collect().toSeq
+    assert(got == want)
+    // and it really is a shuffled hash join, not a silent 8GB broadcast
+    val plan = innerPlan(shuffled(frontier))
+    assert(plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isDefined, s"expected ShuffledHashJoin:\n$plan")
+    assert(plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty, s"unexpected broadcast:\n$plan")
   }
 }
