@@ -33,6 +33,14 @@ final class CrawlLoop(
 
   import spark.implicits._
 
+  // register the graft expressions in THIS session explicitly: inside a
+  // Structured Streaming foreachBatch the thread's ACTIVE session is a
+  // micro-batch clone, so the helpers' lazy active-session registration
+  // would target the clone while the round's DataFrames analyze against
+  // this session's registry (StreamingCrawl twin)
+  graft.functions.UrlExpressions.register(spark)
+  graft.functions.TextExpressions.register(spark)
+
   /** Free a round intermediate. Cut points are `localCheckpoint(false)`
     * (see Round's scaladoc) — their storage hangs off the truncated
     * RDD, not the cache manager, so unpersist the `LogicalRDD` leaves.

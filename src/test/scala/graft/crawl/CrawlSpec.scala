@@ -202,6 +202,20 @@ class CrawlSpec extends AnyFunSuite {
     assert(d1 == d2)
   }
 
+  test("STREAMING twin (foreachBatch + Trigger.AvailableNow, round = micro-batch) ≡ batch loop, byte-exact") {
+    val dir = Files.createTempDirectory("crawl-streaming").toString
+    val store = new SnapshotStore(dir, spark)
+    new CrawlLoop(store, cfg).init(seeds, robotsDS)
+    val executed = StreamingCrawl.run(store, cfg, corpusDF, deathsDF, rounds = 6)
+    assert(executed == 6)
+    assert(store.latestSnapshot.exists(_ >= 6))
+    assert(logSeq(store) == logSeq(mainStore))
+    assert(seenFps(store) == seenFps(mainStore))
+    val dom = store.read("domains").orderBy("host").collect().toSeq
+    val domBatch = mainStore.read("domains").orderBy("host").collect().toSeq
+    assert(dom == domBatch)
+  }
+
   test("prefix-partitioned seen: pruned read is exact and reads less than the full table") {
     // mainStore ran 6 rounds at cadence 2 → last compaction at round 6
     // wrote the prefix-partitioned base with no trailing deltas
