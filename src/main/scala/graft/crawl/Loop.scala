@@ -152,8 +152,8 @@ final class CrawlLoop(
     val robots = robotsOverride.getOrElse(
       store.read("robots_rules").as[RobotsRule])
     val gate = graft.frontier.Robots.prepare(robots, cfg)
-    val hostUdf = udf((u: String) => Urls.hostOf(u))
-    val corpusHosts = corpus.select(hostUdf(col("doc_id")).as("host"))
+    val corpusHosts = corpus
+      .select(graft.functions.UrlExpressions.url_host(col("doc_id")).as("host"))
       .distinct().persist()
     // no checkpointed filter (fresh run or lost/stale sidecar): rebuild
     // from the authoritative seen table — an empty Bloom over non-empty

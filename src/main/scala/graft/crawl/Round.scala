@@ -5,7 +5,7 @@ import graft.dedup.SeenSet
 import graft.extract.{ExtractedLink, SpanExtract}
 import graft.frontier.{Politeness, RobotsGate}
 import graft.model._
-import graft.url.{EnqueueSeq, Urls}
+import graft.url.Urls
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,10 +92,19 @@ object Round {
     graft.functions.UrlExpressions.url_path(c)
   private def fpUdf(c: org.apache.spark.sql.Column) =
     graft.functions.UrlExpressions.url_fingerprint(c)
-  private val discSeqUdf =
-    udf((r: Int, parent: String, pos: Int) => EnqueueSeq.forDiscovered(r, parent, pos))
-  private val requeueSeqUdf =
-    udf((r: Int, u: String) => EnqueueSeq.forRequeue(r, u))
+  // EnqueueSeq.forDiscovered / forRequeue (graft.url.EnqueueSeq) as
+  // column arithmetic over the native in-place fnv1a64 expression — the
+  // previous Scala UDFs decoded each URL to a String per discovered
+  // link. Bit-layout identical (the frozen goldens pin it).
+  private def discSeqCol(r: Int, parent: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column) =
+    shiftleft(lit(r.toLong), 44)
+      .bitwiseOR(shiftleft(
+        graft.functions.UrlExpressions.fnv1a64(parent).bitwiseAND(lit(0xffffffffL)), 12))
+      .bitwiseOR(least(pos, lit(4095)).cast("long"))
+  private def requeueSeqCol(r: Int, u: org.apache.spark.sql.Column) =
+    shiftleft(lit(r.toLong), 44)
+      .bitwiseOR(graft.functions.UrlExpressions.fnv1a64(u).bitwiseAND(lit(0xfffffffffffL)))
 
   private val frontierCols =
     Seq("url", "host", "priority", "tier", "depth", "enqueue_seq",
@@ -274,7 +283,7 @@ object Round {
     val candidates = anchorCand.unionByName(mentionCand)
       .filter(col("depth") <= cfg.maxDepth)
       .withColumn("host", hostUdf(col("url")))
-      .withColumn("enqueue_seq", discSeqUdf(lit(round + 1), col("discovered_from"), col("pos")))
+      .withColumn("enqueue_seq", discSeqCol(round + 1, col("discovered_from"), col("pos")))
       .withColumn("fingerprint", fpUdf(col("url")))
 
     // batch dedup: one hash agg (map-side partial), deterministic arg-min
@@ -331,7 +340,7 @@ object Round {
         .select("host"), Seq("host"), "left_semi")
       .select(col("url"), col("host"), lit(Priorities.Retry).as("priority"),
         lit(Priorities.TierRetry).as("tier"), col("depth"),
-        requeueSeqUdf(lit(round + 1), col("url")).as("enqueue_seq"),
+        requeueSeqCol(round + 1, col("url")).as("enqueue_seq"),
         lit("").as("discovered_from"), lit(round + 1).as("round"),
         (col("retries") + 1).as("retries"))
 
@@ -343,7 +352,7 @@ object Round {
       .select(concat(lit("http://"), col("host"), lit("/")).as("url"), col("host"))
       .select(col("url"), col("host"), lit(Priorities.Recrawl).as("priority"),
         lit(Priorities.TierRecrawl).as("tier"), lit(0).as("depth"),
-        requeueSeqUdf(lit(round + 1), col("url")).as("enqueue_seq"),
+        requeueSeqCol(round + 1, col("url")).as("enqueue_seq"),
         lit("").as("discovered_from"), lit(round + 1).as("round"),
         lit(0).as("retries"))
 

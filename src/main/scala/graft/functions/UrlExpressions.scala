@@ -71,6 +71,29 @@ case class UrlHost(child: Expression) extends UrlStringExpression {
   override def prettyName: String = "url_host"
 }
 
+/** FNV-1a 64 over the UTF8String's bytes in place — the engine's stable
+  * enqueue-seq hash (graft.url.Hashing.fnv1a64) as a codegen'd
+  * expression: the enqueue-seq UDFs decoded every URL to a String and
+  * re-encoded it to bytes per discovered link. Bit-identical to the
+  * String version (same bytes; UrlsSpec pins it), so the frozen goldens
+  * are unaffected.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    UrlOps.fnv(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlOps.fnv($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fnv1a64"
+}
+
 case class UrlPath(child: Expression) extends UrlStringExpression {
   override protected def staticCall: String = "graft.functions.UrlOps.path"
   override protected def evalU(s: UTF8String): UTF8String = UrlOps.path(s)
@@ -176,6 +199,23 @@ object UrlOps {
     if (colon != -1 && validPort(bytes, colon + 1, authEnd)) hostEnd = colon
     if (hostEnd <= hpStart) -1L
     else (hpStart.toLong << 32) | hostEnd.toLong
+  }
+
+  /** FNV-1a 64 in place (no copy) ≡ `Hashing.fnv1a64(s)` on the same
+    * text — a String's UTF-8 bytes ARE the UTF8String's bytes.
+    */
+  def fnv(u: UTF8String): Long = {
+    var h = 0xcbf29ce484222325L
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val n = u.numBytes
+    var i = 0
+    while (i < n) {
+      h ^= (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 
   /** url_host: lowercased host or "". Byte path unless the host region
@@ -406,6 +446,8 @@ object UrlExpressions {
       exprs => UrlHost(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("url_path",
       exprs => UrlPath(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("fnv1a64",
+      exprs => Fnv1a64(exprs.head), "built-in")
     registeredIn = spark
   }
 
@@ -418,4 +460,5 @@ object UrlExpressions {
   def url_fingerprint(col: Column): Column = { ensure(); call_function("url_fingerprint", col) }
   def url_host(col: Column): Column = { ensure(); call_function("url_host", col) }
   def url_path(col: Column): Column = { ensure(); call_function("url_path", col) }
+  def fnv1a64(col: Column): Column = { ensure(); call_function("fnv1a64", col) }
 }
