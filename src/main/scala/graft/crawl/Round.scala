@@ -298,7 +298,16 @@ object Round {
 
     // two-phase bloom + exact anti-join vs seen (J2); cached — consumed by
     // crap detection (with a collect), seen delta, frontier and metrics
-    val fresh0 = seenSet.filterNew(bestPerFp, in.seen, in.seenPruner).localCheckpoint(false)
+    // prefix pruning pays only when the Bloom-positive candidates touch
+    // few prefix partitions. Candidates scale with the schedule, so gate
+    // on the ALREADY-KNOWN scheduled count: above ~the prefix-space size
+    // the candidates cover most partitions (coupon-collector) and the
+    // prune would burn its distinct-prefix job just to fall back to the
+    // full read — measured −10% crawl throughput at bench scale before
+    // this gate. Wrong gate decisions only cost speed, never rows.
+    val pruner = in.seenPruner.filter(p =>
+      scheduledCnt <= (1L << (4 * math.min(7, p.prefixLen))))
+    val fresh0 = seenSet.filterNew(bestPerFp, in.seen, pruner).localCheckpoint(false)
 
     // subdomain-spam (is_crap) detection on the fresh candidate hosts —
     // the (tiny) bomb-base set stays distributed: a broadcast anti-join
