@@ -1,0 +1,19 @@
+#!/bin/bash
+set -x
+bench() {
+  local label=$1 dir=$2
+  rm -rf /tmp/graft-bench-crawl* /dev/shm/graft* /dev/shm/blockmgr-* /dev/shm/spark-* 2>/dev/null
+  (cd $dir && \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_BENCH_HOSTS=600000 GRAFT_BENCH_ROUNDS=3 \
+  SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 GRAFT_BENCH_PARTITIONS=32 \
+  GRAFT_BENCH_WARM_ROUNDS=1 \
+  GRAFT_JVM_OPTS="-Djava.io.tmpdir=/dev/shm -XX:StartFlightRecording:filename=/root/repo/BENCH/jfr_${label}.jfr,settings=profile,maxsize=800m" \
+  GRAFT_BENCH_OUT=/root/repo/BENCH/jfr_${label}.json \
+  sbt -batch "runMain graft.Bench") > /root/repo/BENCH/jfr_${label}.log 2>&1
+}
+git -C /root/repo worktree remove --force /tmp/r3wt 2>/dev/null
+git -C /root/repo worktree add -f /tmp/r3wt dcc4da7 >/dev/null 2>&1
+bench head /root/repo
+bench r3 /tmp/r3wt
+git -C /root/repo worktree remove --force /tmp/r3wt
+echo JFR_DONE

@@ -1,0 +1,18 @@
+#!/bin/bash
+set -x
+bench() {
+  local label=$1 dir=$2
+  rm -rf /tmp/graft-bench-crawl* /dev/shm/graft* /dev/shm/blockmgr-* /dev/shm/spark-* 2>/dev/null
+  (cd $dir && \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_BENCH_HOSTS=600000 GRAFT_BENCH_ROUNDS=3 \
+  SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 GRAFT_BENCH_PARTITIONS=32 \
+  GRAFT_BENCH_WARM_ROUNDS=1 GRAFT_TIMING=1 GRAFT_JVM_OPTS="-Djava.io.tmpdir=/dev/shm" \
+  GRAFT_BENCH_OUT=/root/repo/BENCH/tm_${label}.json \
+  sbt -batch "runMain graft.Bench") > /root/repo/BENCH/tm_${label}.log 2>&1
+}
+git -C /root/repo worktree remove --force /tmp/ubwt 2>/dev/null
+git -C /root/repo worktree add -f /tmp/ubwt 9796c8b >/dev/null 2>&1
+bench head /root/repo
+bench ub /tmp/ubwt
+git -C /root/repo worktree remove --force /tmp/ubwt
+echo TIMING_DONE

@@ -124,28 +124,38 @@ object Urls {
     */
   def canonicalize(url: String): String = split(url) match {
     case None => if (url == null) "" else url.trim.toLowerCase
-    case Some((scheme, host, port, path0, query, _)) =>
-      val portPart =
-        if (port == -1 || DefaultPorts.get(scheme).contains(port)) ""
-        else ":" + port
-      val path = {
-        val p = removeDotSegments(normalizeEscapes(path0))
-        if (p.isEmpty) "/" else p
-      }
-      val queryPart =
-        if (query.isEmpty) ""
-        else {
-          val pairs = query.split("&", -1).filter(_.nonEmpty).map { kv =>
-            kv.indexOf('=') match {
-              case -1 => (normalizeEscapes(kv), None)
-              case i  => (normalizeEscapes(kv.substring(0, i)), Some(normalizeEscapes(kv.substring(i + 1))))
-            }
+    case Some(parts) => canonicalizeParts(parts)
+  }
+
+  /** canonicalize() after a successful [[split]] — exposed so callers
+    * that already split (resolve()'s validity check) don't re-split:
+    * the double split profiled at ~20 GB/run of substring garbage in
+    * the link-extraction hot loop.
+    */
+  private[url] def canonicalizeParts(
+      parts: (String, String, Int, String, String, String)): String = {
+    val (scheme, host, port, path0, query, _) = parts
+    val portPart =
+      if (port == -1 || DefaultPorts.get(scheme).contains(port)) ""
+      else ":" + port
+    val path = {
+      val p = removeDotSegments(normalizeEscapes(path0))
+      if (p.isEmpty) "/" else p
+    }
+    val queryPart =
+      if (query.isEmpty) ""
+      else {
+        val pairs = query.split("&", -1).filter(_.nonEmpty).map { kv =>
+          kv.indexOf('=') match {
+            case -1 => (normalizeEscapes(kv), None)
+            case i  => (normalizeEscapes(kv.substring(0, i)), Some(normalizeEscapes(kv.substring(i + 1))))
           }
-          val sorted = pairs.sortBy { case (k, v) => (k, v.getOrElse("")) }
-          if (sorted.isEmpty) ""
-          else "?" + sorted.map { case (k, Some(v)) => s"$k=$v"; case (k, None) => k }.mkString("&")
         }
-      s"$scheme://$host$portPart$path$queryPart"
+        val sorted = pairs.sortBy { case (k, v) => (k, v.getOrElse("")) }
+        if (sorted.isEmpty) ""
+        else "?" + sorted.map { case (k, Some(v)) => s"$k=$v"; case (k, None) => k }.mkString("&")
+      }
+    s"$scheme://$host$portPart$path$queryPart"
   }
 
   /** Request fingerprint (SURVEY.md §6.1 R2): sha1 hex of "GET <canon>". */
@@ -196,7 +206,7 @@ object Urls {
         if (h.contains("://")) h
         else resolveFast(base, h).getOrElse(
           new java.net.URI(base).resolve(escapeForUri(h)).toString)
-      split(resolved).map(_ => canonicalize(resolved))
+      split(resolved).map(canonicalizeParts)
     } catch { case _: Exception => None }
   }
 
