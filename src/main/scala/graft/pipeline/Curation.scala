@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation operators — the composition layer a
+  * 100-TB pretraining pipeline runs on top of the per-dimension
+  * primitives (TextAnalysis / Dedup): filter-verdicts, deterministic
+  * stratified sampling, sequence packing, benchmark-contamination
+  * screening. All stock Catalyst expressions (codegen'd), DuckDB-oracle
+  * checkable, deterministic under any partitioning.
+  */
+object Curation {
+
+  /** C4/Gopher-style keep/reject verdict per document, composed PER ROW
+    * from the shared quality/langid column builders plus the exact-dup
+    * window — ONE shuffle total (on the content hash), no join of
+    * per-dimension sub-DataFrames. `reject_reason` is the FIRST failing
+    * check in the fixed order duplicate → too_short → too_long →
+    * low_quality → lang, mirroring how curation pipelines report drops.
+    */
+  def c4Filter(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, maxTokens: Int = 5000,
+      minQuality: Double = 0.55,
+      langs: Seq[String] = Seq("de", "en", "es", "fr")): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    val q = TextAnalysis.qualityStruct(col(textCol))
+    val base = docs
+      .select(col(idCol), col(textCol), q.as("q"),
+        TextAnalysis.langPredCol(col(textCol)).as("lang_pred"),
+        md5(col(textCol)).as("content_hash"))
+      .withColumn("is_duplicate",
+        col(idCol) =!= min(col(idCol)).over(w))
+      .select(col(idCol), col("lang_pred"),
+        col("q.n_tokens").as("n_tokens"), col("q.quality").as("quality"),
+        col("is_duplicate"))
+    val reason = when(col("is_duplicate"), "duplicate")
+      .when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("quality") < minQuality, "low_quality")
+      .when(!col("lang_pred").isin(langs: _*), "lang")
+      .otherwise("")
+    base
+      .withColumn("reject_reason", reason)
+      .withColumn("kept", col("reject_reason") === "")
+  }
+
+  /** Deterministic hash-based stratified sampling: a document is kept
+    * iff the first 4 hex chars of `md5(id ":" stratum)` sort below the
+    * stratum's threshold — a pure function of the row (no RNG state, no
+    * partition dependence, replayable), with per-stratum rates.
+    * Thresholds are compared as STRINGS (lowercase-hex lexicographic =
+    * numeric on equal length; "zzzz" = keep-all), so the DuckDB oracle
+    * mirrors it with no hex→int conversion.
+    */
+  def sampleStratified(
+      docs: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    def thr(f: Double): String =
+      if (f >= 1.0) "zzzz"
+      else f"${math.max(0L, math.floor(f * 65536).toLong)}%04x"
+    val thrCol = fractions.foldLeft(lit(thr(defaultFraction))) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit(thr(f))).otherwise(acc)
+    }
+    docs.select(
+      col(idCol), col(strataCol),
+      substring(md5(concat(col(idCol).cast("string"), lit(":"), col(strataCol))),
+        1, 4).as("sample_key"),
+      thrCol.as("threshold"))
+      .withColumn("kept", col("sample_key") < col("threshold"))
+  }
+
+  /** Greedy sequence packing for training batches: documents are packed
+    * in id order within each stratum; `pack_id` = which `budget`-token
+    * bin the document's EXCLUSIVE prefix sum lands in (a pack may
+    * overflow by at most one document — the standard streaming-packing
+    * contract). The window partitions by the stratum, so no
+    * SinglePartition stage exists at scale (per-stratum skew is the
+    * normal salting candidate).
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(strataCol),
+        size(TextAnalysis.wsTokens(col(textCol))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+  }
+
+  /** Benchmark-contamination screen: fraction of a training document's
+    * k-word shingles that also occur in the eval set (CONTAINMENT, not
+    * Jaccard — the conventional contamination metric). The eval side is
+    * distinct shingles only (small) and broadcast; the train side is one
+    * exploded scan — no all-pairs anywhere.
+    */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, shingleK: Int = 3, tau: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol), isEval.as("is_eval"),
+      explode(Dedup.shingles(Dedup.tokens(col(textCol)), shingleK)).as("s"))
+    val evalSh = sh.filter(col("is_eval")).select(col("s")).distinct()
+    val train = sh.filter(!col("is_eval"))
+    val sizes = train.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("containment") >= tau)
+  }
+}

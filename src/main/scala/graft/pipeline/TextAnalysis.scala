@@ -35,12 +35,17 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
     "that", "for", "on", "with", "as", "at", "by", "an", "be", "this")
 
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wsTokens(col(textCol))
+  /** The quality measures as ONE struct column (`n_tokens`,
+    * `mean_word_len`, `quality`) — the single definition both
+    * [[qualityScore]] and the composed [[Curation.c4Filter]] verdict
+    * select from (per-row, join-free composition).
+    */
+  def qualityStruct(text: Column): Column = {
+    val toks = wsTokens(text)
     val nTok = size(toks)
-    val nChar = length(col(textCol))
+    val nChar = length(text)
     val stopHits = size(filter(toks, t => lower(t).isin(Stopwords: _*)))
-    val punct = nChar - length(regexp_replace(col(textCol), "[.!?,;:]", ""))
+    val punct = nChar - length(regexp_replace(text, "[.!?,;:]", ""))
     val meanWordLen = when(nTok > 0,
       (nChar - (nTok - 1)).cast("double") / nTok).otherwise(lit(0.0))
 
@@ -51,13 +56,17 @@ object TextAnalysis {
       greatest(nChar, lit(1)).cast("double"), lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
 
-    docs.select(
-      col(idCol),
+    struct(
       nTok.as("n_tokens"),
       round(meanWordLen, 4).as("mean_word_len"),
       round((lenScore * 0.3 + stopScore * 0.2 + punctScore * 0.3 +
         wordLenScore * 0.2), 4).as("quality"))
   }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), qualityStruct(col(textCol)).as("q"))
+      .select(col(idCol), col("q.n_tokens").as("n_tokens"),
+        col("q.mean_word_len").as("mean_word_len"), col("q.quality").as("quality"))
 
   /** Character-n-gram language ID over a tiny built-in profile set —
     * the classic Cavnar–Trenkle trick reduced to marker n-grams and
@@ -70,14 +79,29 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", " une "),
     "es" -> Seq(" el ", " la ", " y ", " es ", " los ", " una "))
 
+  private def votesCol(padded: Column, lang: String): Column =
+    LangMarkers(lang).map { m =>
+      (length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(m), ""))) / m.length
+    }.reduce(_ + _)
+
+  /** arg-max language as one column (ties → first alphabetically,
+    * no vote → "und") — the shared definition for [[langId]] and the
+    * composed curation verdict.
+    */
+  def langPredCol(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val langs = LangMarkers.keys.toSeq.sorted
+    val vs = langs.map(l => l -> votesCol(padded, l))
+    val gmax = greatest(vs.map(_._2): _*)
+    vs.foldLeft(lit("und")) { case (acc, (l, v)) =>
+      when(v > lit(0) && v === gmax && acc === "und", lit(l)).otherwise(acc)
+    }
+  }
+
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
-    def votes(lang: String): Column =
-      LangMarkers(lang).map { m =>
-        (length(padded) - length(regexp_replace(padded,
-          java.util.regex.Pattern.quote(m), ""))) / m.length
-      }.reduce(_ + _)
-    val voteCols = LangMarkers.keys.toSeq.sorted.map(l => votes(l).as(s"v_$l"))
+    val voteCols = LangMarkers.keys.toSeq.sorted.map(l => votesCol(padded, l).as(s"v_$l"))
     val withVotes = docs.select((col(idCol) +: voteCols): _*)
     val langs = LangMarkers.keys.toSeq.sorted
     // arg-max via greatest + chained when (ties -> first alphabetically)

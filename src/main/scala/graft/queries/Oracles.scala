@@ -256,6 +256,111 @@ object Oracles {
         |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // pipe01: quality (ta02's formulas) + langid (ta03's vote CASE) +
+    // exact-dup window (dd01's md5 partition) composed into the same
+    // first-failing reject_reason Spark computes
+    "pipe01_c4_filter" -> {
+      val markers = Map(
+        "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " ein "),
+        "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in "),
+        "es" -> Seq(" el ", " la ", " y ", " es ", " los ", " una "),
+        "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", " une "))
+      val langs = markers.keys.toSeq.sorted
+      def votes(l: String) = markers(l)
+        .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+        .mkString(" + ")
+      val voteCols = langs.map(l => s"${votes(l)} AS v_$l").mkString(",\n  ")
+      val gmax = s"greatest(${langs.map("v_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN v_$l > 0 AND v_$l = $gmax THEN '$l'")
+        .mkString(" ")
+      s"""WITH p0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+         |v AS (SELECT doc_id, text,
+         |  $voteCols
+         |FROM p0),
+         |lp AS (SELECT doc_id, text, CASE $cases ELSE 'und' END AS lang_pred FROM v),
+         |base AS (
+         |  SELECT doc_id, lang_pred,
+         |    length(text) AS nchar,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS ntok,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> lower(t) IN ('the','a','of','and','to','in','is','that','for','on',
+         |                        'with','as','at','by','an','be','this'))) AS stophits,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+         |  FROM lp
+         |), scored AS (
+         |  SELECT doc_id, lang_pred, ntok, is_duplicate,
+         |    CASE WHEN ntok > 0 THEN CAST(nchar - (ntok - 1) AS DOUBLE) / ntok ELSE 0.0 END AS mwl,
+         |    least(CAST(nchar AS DOUBLE) / 200.0, 1.0) AS len_score,
+         |    least(CAST(stophits AS DOUBLE) * 10.0 / greatest(ntok, 1), 1.0) AS stop_score,
+         |    1.0 - least(CAST(punct AS DOUBLE) * 20.0 / greatest(nchar, 1), 1.0) AS punct_score
+         |  FROM base
+         |), fin AS (
+         |  SELECT doc_id, lang_pred, CAST(ntok AS INT) AS n_tokens,
+         |    round(len_score * 0.3 + stop_score * 0.2 + punct_score * 0.3 +
+         |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality,
+         |    is_duplicate
+         |  FROM scored
+         |), verdict AS (
+         |  SELECT doc_id, lang_pred, n_tokens, quality, is_duplicate,
+         |    CASE WHEN is_duplicate THEN 'duplicate'
+         |         WHEN n_tokens < 5 THEN 'too_short'
+         |         WHEN n_tokens > 5000 THEN 'too_long'
+         |         WHEN quality < 0.55 THEN 'low_quality'
+         |         WHEN lang_pred NOT IN ('de','en','es','fr') THEN 'lang'
+         |         ELSE '' END AS reject_reason
+         |  FROM fin)
+         |SELECT doc_id, lang_pred, n_tokens, quality, is_duplicate,
+         |  reject_reason, reject_reason = '' AS kept
+         |FROM verdict ORDER BY doc_id""".stripMargin
+    },
+
+    "pipe02_sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) AS sample_key,
+        |  CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END AS threshold,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) <
+        |    CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe03_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+        |  CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+        |    - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "pipe04_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM toks
+        |), e AS (
+        |  SELECT doc_id, doc_id % 97 = 0 AS is_eval, unnest(shingles) AS s FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT s FROM e WHERE is_eval
+        |), train AS (
+        |  SELECT doc_id, s FROM e WHERE NOT is_eval
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1
+        |), hits AS (
+        |  SELECT t.doc_id, count(*) AS n_hit FROM train t JOIN ev ON t.s = ev.s GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.n_shingles, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 6) AS containment,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 6) >= 0.5 AS contaminated
+        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id ORDER BY s.doc_id""".stripMargin,
+
     "ta01_token_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars_measured,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,34 @@ object PipelineQueries {
       graft.pipeline.IvfIndex.probe(store, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // C4/Gopher-style curation verdict (quality + langid + exact-dup,
+    // composed per-row, one shuffle) — FULL oracle
+    "pipe01_c4_filter" -> ((s, d) => {
+      Curation.c4Filter(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash-stratified sampling (md5 threshold strings,
+    // rate 0.5 for en / 0.25 default) — FULL oracle
+    "pipe02_sample_stratified" -> ((s, d) => {
+      Curation.sampleStratified(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.5), defaultFraction = 0.25).orderBy(col("doc_id"))
+    }),
+
+    // greedy sequence packing into 512-token bins per language — FULL
+    // oracle (windowed prefix sums)
+    "pipe03_pack_sequences" -> ((s, d) => {
+      Curation.packSequences(docs(s, d), "doc_id", "text", "lang",
+        budgetTokens = 512).orderBy(col("doc_id"))
+    }),
+
+    // benchmark-contamination screen (3-gram containment vs the
+    // doc_id%97==0 eval slice) — FULL oracle
+    "pipe04_contamination" -> ((s, d) => {
+      Curation.contamination(docs(s, d), "doc_id", "text",
+        isEval = col("doc_id") % 97 === 0, shingleK = 3, tau = 0.5)
+        .orderBy(col("doc_id"))
     }),
 
     // token counting — FULL oracle

@@ -166,6 +166,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotProbe == wantProbe)
   }
 
+  test("c4Filter verdicts: duplicate / too_short / kept, first-failing reason order") {
+    val good = ("the cat and the dog sat on the mat in the sun and it is warm " * 4).trim
+    val docs = Seq(
+      (1L, good), (2L, good),                  // 2 loses to 1 as duplicate
+      (3L, "tiny doc"),                        // too_short
+      (4L, good + " extra")                    // kept (en, long enough, quality ok)
+    ).toDF("doc_id", "text")
+    val r = Curation.c4Filter(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getString(5), x.getBoolean(6)))).toMap
+    assert(r(1L)._2, s"doc 1 should be kept: ${r(1L)}")
+    assert(r(2L) == (("duplicate", false)))
+    assert(r(3L) == (("too_short", false)))
+    assert(r(4L)._2)
+  }
+
+  test("sampleStratified is deterministic and kept == key < threshold") {
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = Curation.sampleStratified(docs, "doc_id", "lang", Map("en" -> 0.5), 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getBoolean(4)))
+    val s2 = Curation.sampleStratified(docs, "doc_id", "lang", Map("en" -> 0.5), 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getBoolean(4)))
+    assert(s1.toSeq == s2.toSeq)
+    s1.foreach { case (_, key, thr, kept) => assert(kept == (key < thr)) }
+    // rates land near the targets (hash uniformity, generous bounds)
+    val en = s1.filter(_._3 == "8000"); val de = s1.filter(_._3 == "4000")
+    assert(math.abs(en.count(_._4).toDouble / en.length - 0.5) < 0.15)
+    assert(math.abs(de.count(_._4).toDouble / de.length - 0.25) < 0.15)
+  }
+
+  test("packSequences: per-stratum id-ordered prefix sums land in budget bins") {
+    val docs = (0L until 30L).map(i => (i, "s", ("w " * (10 + (i % 7).toInt)).trim))
+      .toDF("doc_id", "lang", "text")
+    val r = Curation.packSequences(docs, "doc_id", "text", "lang", budgetTokens = 40)
+      .collect().map(x => (x.getLong(0), x.getInt(2), x.getLong(3), x.getLong(4)))
+      .sortBy(_._1)
+    var cum = 0L
+    r.foreach { case (_, n, got, pack) =>
+      assert(got == cum + n)                   // inclusive prefix sum
+      assert(pack == cum / 40)                 // exclusive-sum bin
+      cum += n
+    }
+    assert(r.map(_._4).distinct.length > 1)    // actually splits into packs
+  }
+
+  test("contamination: verbatim eval copy scores 1.0, unrelated text low") {
+    val evalText = mkText(500)
+    val docs = Seq(
+      (0L, evalText),                // doc_id % 97 == 0 -> eval member
+      (5L, evalText),                // verbatim copy -> containment 1.0
+      (6L, mkText(777))              // unrelated
+    ).toDF("doc_id", "text")
+    val r = Curation.contamination(docs, "doc_id", "text",
+      isEval = col("doc_id") % 97 === 0).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(!r.contains(0L))          // eval docs excluded from the output
+    assert(r(5L) == ((1.0, true)))
+    assert(r(6L)._1 < 0.5 && !r(6L)._2)
+  }
+
   test("token stats values") {
     val df = Seq((1L, "Hello, world! 42"), (2L, "  spaced   out  ")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
