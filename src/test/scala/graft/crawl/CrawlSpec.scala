@@ -216,6 +216,22 @@ class CrawlSpec extends AnyFunSuite {
     assert(dom == domBatch)
   }
 
+  test("STREAMING twin: second run over the same workDir continues (checkpointed ticks), still ≡ batch") {
+    val dir = Files.createTempDirectory("crawl-streaming2").toString
+    val store = new SnapshotStore(dir, spark)
+    new CrawlLoop(store, cfg).init(seeds, robotsDS)
+    val work = Files.createTempDirectory("crawl-stream-work").toString
+    assert(StreamingCrawl.run(store, cfg, corpusDF, deathsDF, rounds = 3,
+      workDir = Some(work)) == 3)
+    // same workDir: the stream checkpoint remembers processed ticks, the
+    // new tick files continue the crawl — 3 more rounds, not a replay
+    assert(StreamingCrawl.run(store, cfg, corpusDF, deathsDF, rounds = 3,
+      workDir = Some(work)) == 3)
+    assert(store.latestSnapshot.contains(6))
+    assert(logSeq(store) == logSeq(mainStore))
+    assert(seenFps(store) == seenFps(mainStore))
+  }
+
   test("prefix-partitioned seen: pruned read is exact and reads less than the full table") {
     // mainStore ran 6 rounds at cadence 2 → last compaction at round 6
     // wrote the prefix-partitioned base with no trailing deltas
