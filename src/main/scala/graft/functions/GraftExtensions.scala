@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("url_path", "url_path(url) - path component, '/' default") {
       exprs => UrlPath(exprs.head)
     }
+    inject("fnv1a64", "fnv1a64(s) - stable FNV-1a 64-bit hash of the UTF-8 bytes") {
+      exprs => Fnv1a64(exprs.head)
+    }
     inject("graft_bloom_agg", "graft_bloom_agg(col, items, numBits) - serialized Bloom filter") {
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))

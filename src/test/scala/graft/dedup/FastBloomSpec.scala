@@ -64,4 +64,45 @@ class FastBloomSpec extends AnyFunSuite {
     bf.put(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(bf.mightContainString(s))
   }
+
+  test("mightContainUTF8 ≡ mightContainString (in-place hashing, same bits)") {
+    val bf = FastBloom.create(5000, 0.03)
+    val ks = keys(7, 2000) :+ "héllo-⚡-fp" :+ ""
+    ks.take(1000).foreach(bf.putString)
+    ks.foreach { k =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(k)
+      assert(bf.mightContainUTF8(u) == bf.mightContainString(k), k)
+    }
+  }
+
+  test("probe expressions run under CODEGEN_ONLY (no silent interpreted fallback) and match the driver-side filter") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val bf = FastBloom.create(5000, 0.03)
+    val ks = keys(8, 500)
+    ks.take(250).foreach(bf.putString)
+    val df = (ks :+ null).toDF("fp")
+    val bc = spark.sparkContext.broadcast(bf)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = df.filter(graft.functions.BloomProbe.mightContain(bc, org.apache.spark.sql.functions.col("fp")))
+        .as[String].collect().toSet
+      val want = ks.filter(bf.mightContainString).toSet
+      assert(got == want)
+      // sharded variant: 4 identical shards + a constant shard column
+      val bcs = Array.fill(4)(spark.sparkContext.broadcast(bf))
+      val got2 = df
+        .withColumn("s", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col("fp")),
+          org.apache.spark.sql.functions.lit(4)))
+        .filter(graft.functions.BloomProbe.mightContainSharded(bcs,
+          org.apache.spark.sql.functions.col("fp"), org.apache.spark.sql.functions.col("s")))
+        .select("fp").as[String].collect().toSet
+      assert(got2 == want)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

@@ -15,23 +15,34 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all six functions; SQL evaluates them") {
+  test("GraftExtensions injects all seven functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
       ext, spark.sessionState.functionRegistry)
 
-    val r = spark.sql(
+    // CODEGEN_ONLY: a doGenCode bug would otherwise silently fall back
+    // to interpreted eval and never fail a test
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val r = try spark.sql(
       """SELECT
         |  canonicalize_url('HTTP://ABC.onion/a/../b?z=1&a=2#f') AS canon,
         |  url_host('http://x.onion/p') AS host,
         |  url_path('http://x.onion/p?q=1') AS path,
-        |  length(url_fingerprint('http://x.onion/')) AS fplen
+        |  length(url_fingerprint('http://x.onion/')) AS fplen,
+        |  fnv1a64('http://x.onion/') AS fnv
+        |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
     assert(r.getString(0) == "http://abc.onion/b?a=2&z=1")
     assert(r.getString(1) == "x.onion")
     assert(r.getString(2) == "/p")
     assert(r.getInt(3) == 40)
+    assert(r.getLong(4) == graft.url.Hashing.fnv1a64("http://x.onion/"))
 
     // might_contain probes are BIGINT-only (string-built filters are
     // probed via the sketch API driver/executor-side instead)
