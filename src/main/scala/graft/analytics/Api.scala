@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Api {
 
   val Tables = Seq("frontier", "seen", "domains", "pages", "pages_fts",
-    "links", "emails", "btc_addresses", "ssh_fps", "open_ports",
+    "links", "media_refs", "emails", "btc_addresses", "ssh_fps", "open_ports",
     "robots_rules", "crawl_log", "metrics")
 
   /** Register every committed table as a temp view (`graft_<table>`). */

@@ -86,6 +86,7 @@ final class CrawlLoop(
         "pages" -> spark.emptyDataset[PageRow].toDF(),
         "pages_fts" -> spark.emptyDataset[FtsRow].toDF(),
         "links" -> spark.emptyDataset[LinkRow].toDF(),
+        "media_refs" -> spark.emptyDataset[MediaRefRow].toDF(),
         "emails" -> spark.emptyDataset[FactRow].toDF(),
         "btc_addresses" -> spark.emptyDataset[FactRow].toDF(),
         "ssh_fps" -> spark.emptyDataset[FactRow].toDF(),
@@ -213,6 +214,7 @@ final class CrawlLoop(
           "pages" -> out.pagesDelta,
           "pages_fts" -> out.ftsDelta,
           "links" -> out.linksDelta,
+          "media_refs" -> out.mediaDelta,
           "emails" -> out.emailsDelta,
           "btc_addresses" -> out.btcDelta,
           "ssh_fps" -> out.sshFpsDelta,

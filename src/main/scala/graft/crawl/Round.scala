@@ -46,6 +46,7 @@ final case class RoundOutputs(
     pagesDelta: DataFrame,
     ftsDelta: DataFrame,
     linksDelta: DataFrame,
+    mediaDelta: DataFrame,
     emailsDelta: DataFrame,
     btcDelta: DataFrame,
     sshFpsDelta: DataFrame,
@@ -258,6 +259,14 @@ object Round {
         explode(col("links")).as("l"))
       .select(col("src_url"), col("l.dst_url").as("dst_url"), col("src_host"),
         hostUdf(col("l.dst_url")).as("dst_host"), lit(round).as("round"))
+
+    // media half of the interleaved span contract: every media_ref of a
+    // fetched page, span-ordered (posexplode keeps the order the parse
+    // emitted, which is span order)
+    val mediaDelta = parsed
+      .select(col("url"), col("host"), posexplode(col("media_refs")).as(Seq("pos", "media_ref")))
+      .select(col("url"), col("host"), col("media_ref"), col("pos"),
+        lit(round).as("round"))
 
     def factDelta(arrayCol: String): DataFrame = parsed
       .select(col("host"), explode(col(arrayCol)).as("value"))
@@ -474,6 +483,7 @@ object Round {
       pagesDelta = pagesDelta,
       ftsDelta = ftsDelta,
       linksDelta = linksDelta,
+      mediaDelta = mediaDelta,
       emailsDelta = emailsDelta,
       btcDelta = btcDelta,
       sshFpsDelta = sshFpsDelta,

@@ -60,6 +60,13 @@ final case class LinkRow(
 /** Inverted-lookup fact rows (emails / btc addresses / ssh fps / ports). */
 final case class FactRow(host: String, value: String, round: Int)
 
+/** Media references observed in fetched pages' interleaved spans
+  * (kind = "media") — the media half of the input contract's
+  * text+media span sequences, kept span-ordered via `pos`.
+  */
+final case class MediaRefRow(
+    url: String, host: String, media_ref: String, pos: Int, round: Int)
+
 final case class RobotsRule(
     host: String,
     path_prefix: String,

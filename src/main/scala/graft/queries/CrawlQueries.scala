@@ -116,6 +116,14 @@ object CrawlQueries {
         .agg(max(col("round")).as("last_seen_round"))
         .orderBy(col("host"), col("port"))),
 
+    // media half of the interleaved span contract: every media_ref of a
+    // fetched page, span-ordered (the reference's text+media documents)
+    "crawl13_media" -> ((s, _) =>
+      store(s).read("media_refs")
+        .groupBy(col("host"), col("media_ref"))
+        .agg(max(col("round")).as("last_seen_round"), count(lit(1)).as("n_obs"))
+        .orderBy(col("host"), col("media_ref"))),
+
     // SQL entry point over registered snapshot views + JSON projection
     // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)
     "crawl10_sql_api" -> ((s, _) => {

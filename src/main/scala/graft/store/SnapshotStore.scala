@@ -293,6 +293,6 @@ object SnapshotStore {
     * combined write (see [[SnapshotStore.writeData]] scaladoc).
     */
   val RowHeavyTables: Set[String] = Set(
-    "seen", "pages", "pages_fts", "links", "emails", "btc_addresses",
-    "ssh_fps", "open_ports", "crawl_log")
+    "seen", "pages", "pages_fts", "links", "media_refs", "emails",
+    "btc_addresses", "ssh_fps", "open_ports", "crawl_log")
 }

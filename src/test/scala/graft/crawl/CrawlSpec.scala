@@ -260,6 +260,24 @@ class CrawlSpec extends AnyFunSuite {
     assert(seenFps(a) == seenFps(b))
   }
 
+  test("media_refs table: fetched pages' media spans land span-ordered, exactly the corpus's") {
+    import org.apache.spark.sql.Row
+    // per (url, round) observation, the pos-ordered refs must equal the
+    // corpus document's media spans in span order (recrawls re-observe)
+    val media = mainStore.read("media_refs")
+      .select("url", "round", "media_ref", "pos").collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(3)).map(_.getString(2)).toSeq }
+    assert(media.nonEmpty, "no media refs recorded")
+    val corpus = SyntheticCorpus.docsLocal(nHosts)
+      .map(d => d.doc_id -> d.spans.filter(s => s.kind == "media" && s.media_ref != null)
+        .map(_.media_ref)).toMap
+    media.foreach { case ((u, _), got) =>
+      val want = corpus.getOrElse(u, Seq.empty)
+      assert(got == want, s"span order broken for $u: got=$got want=$want")
+    }
+  }
+
   test("retention TTL: expired page rows vanish at compaction; crawl continues") {
     val store = runCrawl(rounds = 6, partitions = 4,
       c = cfg.copy(pageTtlRounds = 2, compactEveryRounds = 2))
