@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   *                            tagged union; observed: seen-delta count)
   *   5. seen-Bloom delta     (ONE treeAggregate over the cached delta)
   * plus a frontier count on the FIRST round of a run only (later rounds
-  * reuse the write's observed metric). Golden-sequence bookkeeping and
-  * the sidecar checkpoint ride on those jobs — no dedicated actions.
+  * reuse the write's observed metric), plus — ONLY when the scheduled
+  * count is at most the seen-prefix space (the few-candidates regime,
+  * Round's gate) — one small distinct-prefix job that lets the exact
+  * anti-join read just the touched `seen` partitions. Golden-sequence
+  * bookkeeping and the sidecar checkpoint ride on those jobs — no
+  * dedicated actions.
   */
 final class CrawlLoop(
     val store: SnapshotStore,
