@@ -73,24 +73,35 @@ object Curation {
   }
 
   /** Greedy sequence packing for training batches: documents are packed
-    * in id order within each stratum; `pack_id` = which `budget`-token
-    * bin the document's EXCLUSIVE prefix sum lands in (a pack may
-    * overflow by at most one document — the standard streaming-packing
-    * contract). The window partitions by the stratum, so no
-    * SinglePartition stage exists at scale (per-stratum skew is the
-    * normal salting candidate).
+    * in id order within each (stratum, id-block); `pack_id` = which
+    * `budget`-token bin the document's EXCLUSIVE prefix sum (within its
+    * block) lands in (a pack may overflow by at most one document — the
+    * standard streaming-packing contract). Packs never span blocks, so
+    * the window key is (stratum, block) — at 10^10 docs a
+    * stratum-only window would funnel each language through ONE task;
+    * blocks of `blockDocs` ids bound every window partition while
+    * keeping the result a pure deterministic function of the row set
+    * (block = id / blockDocs, not anything partition-dependent).
+    * `pack_id` is globally unique: (block, within-block bin) packed as
+    * block * ceil(blockTokenMax/budget)-free composite via bit split —
+    * here simply block * 2^32 + bin (bins per block < 2^32 by budget ≥ 1).
     */
   def packSequences(
       docs: DataFrame, idCol: String, textCol: String,
-      strataCol: String, budgetTokens: Int): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      strataCol: String, budgetTokens: Int,
+      blockDocs: Long = 1L << 20): DataFrame = {
+    val block = floor(col(idCol).cast("long") / lit(blockDocs.toDouble)).cast("long")
+    val w = Window.partitionBy(col(strataCol), col("block")).orderBy(col(idCol))
     docs
       .select(col(idCol), col(strataCol),
-        size(TextAnalysis.wsTokens(col(textCol))).as("n_tokens"))
+        size(TextAnalysis.wsTokens(col(textCol))).as("n_tokens"),
+        block.as("block"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
-        floor((col("cum_tokens") - col("n_tokens")) /
-          lit(budgetTokens.toDouble)).cast("long"))
+        shiftleft(col("block"), 32).bitwiseOR(
+          floor((col("cum_tokens") - col("n_tokens")) /
+            lit(budgetTokens.toDouble)).cast("long")))
+      .drop("block")
   }
 
   /** Benchmark-contamination screen: fraction of a training document's

@@ -323,14 +323,17 @@ object Oracles {
         |    CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // block = doc_id div 2^20 (the scale-out window key; packs never
+    // span blocks); pack_id = block << 32 | within-block bin
     "pipe03_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |    CAST(floor(CAST(doc_id AS BIGINT) / 1048576.0) AS BIGINT) AS block
         |  FROM documents)
         |SELECT doc_id, lang, n_tokens,
-        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens,
-        |  CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang, block ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+        |  (block << 32) | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY lang, block ORDER BY doc_id) AS BIGINT)
         |    - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
 
