@@ -245,6 +245,36 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, published recipe):
+    * cluster embeddings with the deterministic k-means quantizer, then
+    * WITHIN each cluster drop every vector that has a smaller-id
+    * neighbor with cosine ≥ tau — one deterministic representative per
+    * near-duplicate neighborhood, O(Σ cluster²) not O(n²). Cross-cluster
+    * near-dups are missed by construction — that is SemDeDup's
+    * documented recall trade; raise nClusters for smaller clusters (and
+    * cheaper pairs) at lower recall, or lower it for the opposite.
+    * Returns every vector with its cluster and keep verdict.
+    */
+  def semDeDup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 8, tau: Double = 0.95, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+      .toDF("cluster_id", "cvec")
+    val idx = assignToCentroids(corpus, cents, idCol, vecCol)
+    val a = idx.select(col("cluster_id"), col("nn_id").as("id_a"), col("nn_vec").as("vec_a"))
+    val b = idx.select(col("cluster_id"), col("nn_id").as("id_b"), col("nn_vec").as("vec_b"))
+    val losers = a.join(b, Seq("cluster_id"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(round(cosine(col("vec_a"), col("vec_b")), 6) >= tau)
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("dup_of"))
+    idx.select(col("nn_id").as(idCol), col("cluster_id"))
+      .join(losers.withColumnRenamed("id_a", idCol), Seq(idCol), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** EXACT near-duplicate pairs — the O(n²) verification baseline for
     * [[cosineNearDups]] (full oracle; run on samples/blocks at scale,
     * the LSH variant is the scale path). Filter on the raw cosine,

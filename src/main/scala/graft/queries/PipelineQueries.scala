@@ -121,6 +121,14 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup: k-means clusters then within-cluster near-identical
+    // pruning (rows-only: xxhash64-seeded quantizer; PipelineSpec pins
+    // one-keeper-per-duplicate-group and keeps ⊆ corpus)
+    "dd08_semdedup" -> ((s, d) => {
+      Similarity.semDeDup(embs(s, d), "vec_id", "embedding",
+        nClusters = 8, tau = 0.95).orderBy(col("vec_id"))
+    }),
+
     // C4/Gopher-style curation verdict (quality + langid + exact-dup,
     // composed per-row, one shuffle) — FULL oracle
     "pipe01_c4_filter" -> ((s, d) => {

@@ -166,6 +166,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotProbe == wantProbe)
   }
 
+  test("semDeDup: one keeper per duplicate vector group, dup_of points at the min id") {
+    val e0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant exact duplicates: ids 10000+k carry vector of id k (k<4)
+    val dups = e0.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val e = e0.unionByName(dups)
+    val r = Similarity.semDeDup(e, "vec_id", "embedding", nClusters = 4, tau = 0.999999)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r.size == e.count())
+    (0L until 4L).foreach { k =>
+      assert(r(k)._3, s"original $k must be kept")
+      val (ck, dupOf, kept) = r(k + 10000)
+      assert(!kept && dupOf == k, s"planted copy of $k: got $dupOf kept=$kept")
+      assert(ck == r(k)._1, "identical vectors must share a cluster")
+    }
+  }
+
   test("c4Filter verdicts: duplicate / too_short / kept, first-failing reason order") {
     val good = ("the cat and the dog sat on the mat in the sun and it is warm " * 4).trim
     val docs = Seq(
