@@ -112,13 +112,19 @@ object Curation {
     */
   def contamination(
       docs: DataFrame, idCol: String, textCol: String,
-      isEval: Column, shingleK: Int = 3, tau: Double = 0.5): DataFrame = {
+      isEval: Column, shingleK: Int = 3, tau: Double = 0.5,
+      /** benchmark eval sets are small — broadcast by default; pass
+        * false for a huge eval corpus and the hit join shuffle-hashes on
+        * the shingle instead (same rows, explicit cost — the robots-gate
+        * regime pattern). */
+      broadcastEval: Boolean = true): DataFrame = {
     val sh = docs.select(col(idCol), isEval.as("is_eval"),
       explode(Dedup.shingles(Dedup.tokens(col(textCol)), shingleK)).as("s"))
-    val evalSh = sh.filter(col("is_eval")).select(col("s")).distinct()
+    val evalSh0 = sh.filter(col("is_eval")).select(col("s")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0.hint("shuffle_hash")
     val train = sh.filter(!col("is_eval"))
     val sizes = train.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val hits = train.join(broadcast(evalSh), Seq("s"))
+    val hits = train.join(evalSh, Seq("s"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     sizes.join(hits, Seq(idCol), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
