@@ -104,6 +104,28 @@ object Curation {
       .drop("block")
   }
 
+  /** Per-stratum quality-percentile gate: keep the top `topFraction` of
+    * documents by quality WITHIN each stratum (the dynamic-threshold
+    * variant of C4's fixed cutoff — a fixed threshold keeps wildly
+    * different fractions per language). Percentile = `cume_dist` over
+    * the stratum (exact, SQL-standard tie semantics — identical in the
+    * DuckDB oracle). NOTE: exact per-stratum ranking sorts each stratum
+    * globally; at 10^10 docs use `approx_percentile(quality, 1-p)` per
+    * stratum to derive a threshold in one aggregation and broadcast it —
+    * same decision boundary up to sketch error, no global sort. The
+    * exact form here IS the oracle-checkable spec of that boundary.
+    */
+  def qualityPercentile(
+      docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, topFraction: Double): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("quality"))
+    docs
+      .select(col(idCol), col(strataCol),
+        TextAnalysis.qualityStruct(col(textCol)).getField("quality").as("quality"))
+      .withColumn("q_pct", round(cume_dist().over(w), 6))
+      .withColumn("kept", col("q_pct") > lit(1.0 - topFraction))
+  }
+
   /** Benchmark-contamination screen: fraction of a training document's
     * k-word shingles that also occur in the eval set (CONTAINMENT, not
     * Jaccard — the conventional contamination metric). The eval side is

@@ -315,6 +315,36 @@ object Oracles {
          |FROM verdict ORDER BY doc_id""".stripMargin
     },
 
+    // quality CTE = ta02's formulas; cume_dist has identical SQL-standard
+    // tie semantics in both engines; kept uses the ROUNDED percentile in
+    // both (same boundary)
+    "pipe05_quality_percentile" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    length(text) AS nchar,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> lower(t) IN ('the','a','of','and','to','in','is','that','for','on',
+        |                        'with','as','at','by','an','be','this'))) AS stophits,
+        |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN ntok > 0 THEN CAST(nchar - (ntok - 1) AS DOUBLE) / ntok ELSE 0.0 END AS mwl,
+        |    least(CAST(nchar AS DOUBLE) / 200.0, 1.0) AS len_score,
+        |    least(CAST(stophits AS DOUBLE) * 10.0 / greatest(ntok, 1), 1.0) AS stop_score,
+        |    1.0 - least(CAST(punct AS DOUBLE) * 20.0 / greatest(nchar, 1), 1.0) AS punct_score
+        |  FROM base
+        |), q AS (
+        |  SELECT doc_id, lang,
+        |    round(len_score * 0.3 + stop_score * 0.2 + punct_score * 0.3 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+        |  FROM scored)
+        |SELECT doc_id, lang, quality,
+        |  round(cume_dist() OVER (PARTITION BY lang ORDER BY quality), 6) AS q_pct,
+        |  round(cume_dist() OVER (PARTITION BY lang ORDER BY quality), 6) > 0.6 AS kept
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     "pipe02_sample_stratified" ->
       """SELECT doc_id, lang,
         |  substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) AS sample_key,

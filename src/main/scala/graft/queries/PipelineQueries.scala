@@ -157,6 +157,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-language quality-percentile gate (keep top 40%) — FULL oracle
+    "pipe05_quality_percentile" -> ((s, d) => {
+      Curation.qualityPercentile(docs(s, d), "doc_id", "text", "lang",
+        topFraction = 0.4).orderBy(col("doc_id"))
+    }),
+
     // token counting — FULL oracle
     "ta01_token_stats" -> ((s, d) => {
       TextAnalysis.tokenStats(docs(s, d), "doc_id", "text")

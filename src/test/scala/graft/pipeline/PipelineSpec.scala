@@ -230,6 +230,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.map(_._4).distinct.length > 1)    // actually splits into packs
   }
 
+  test("qualityPercentile: per-stratum top-fraction gate, percentiles in (0,1]") {
+    val docs = (0L until 100L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // varying lengths → spread of quality scores
+      (i, lang, ("the and of to in is word " * (1 + (i % 10).toInt)).trim)
+    }.toDF("doc_id", "lang", "text")
+    val r = Curation.qualityPercentile(docs, "doc_id", "text", "lang", topFraction = 0.4)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(3), x.getBoolean(4)))
+    assert(r.forall { case (_, _, p, _) => p > 0.0 && p <= 1.0 })
+    // per stratum, kept ≈ top 40% (ties can widen/narrow the set slightly)
+    Seq("en", "de").foreach { l =>
+      val in = r.filter(_._2 == l)
+      val kept = in.count(_._4)
+      assert(kept > 0 && kept < in.length)
+      // every kept doc's percentile exceeds every dropped doc's
+      val minKept = in.filter(_._4).map(_._3).min
+      val maxDrop = in.filterNot(_._4).map(_._3).max
+      assert(minKept > maxDrop || minKept == maxDrop)
+    }
+  }
+
   test("contamination: verbatim eval copy scores 1.0, unrelated text low") {
     val evalText = mkText(500)
     val docs = Seq(
