@@ -126,6 +126,27 @@ object Curation {
       .withColumn("kept", col("q_pct") > lit(1.0 - topFraction))
   }
 
+  /** The 10^10-doc twin of [[qualityPercentile]]: derive one quality
+    * threshold per stratum with `percentile_approx` in a single
+    * aggregation (no per-stratum global sort), broadcast the tiny
+    * threshold table, keep `quality > threshold`. Decisions equal the
+    * exact gate except possibly AT the threshold value itself (tie
+    * semantics; sketch error at extreme scale) — PipelineSpec pins that
+    * every disagreement sits exactly on the boundary.
+    */
+  def qualityThresholdApprox(
+      docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, topFraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = docs.select(col(idCol), col(strataCol),
+      TextAnalysis.qualityStruct(col(textCol)).getField("quality").as("quality"))
+    val thresholds = scored.groupBy(col(strataCol))
+      .agg(percentile_approx(col("quality"), lit(1.0 - topFraction),
+        lit(accuracy)).as("q_threshold"))
+    scored.join(broadcast(thresholds), Seq(strataCol))
+      .withColumn("kept", col("quality") > col("q_threshold"))
+  }
+
   /** Benchmark-contamination screen: fraction of a training document's
     * k-word shingles that also occur in the eval set (CONTAINMENT, not
     * Jaccard — the conventional contamination metric). The eval side is

@@ -251,6 +251,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityThresholdApprox (scale twin): agrees with the exact gate off the boundary") {
+    val docs = (0L until 100L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (i, lang, ("the and of to in is word " * (1 + (i % 10).toInt)).trim)
+    }.toDF("doc_id", "lang", "text")
+    val exact = Curation.qualityPercentile(docs, "doc_id", "text", "lang", 0.4)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(2), x.getBoolean(4)))).toMap
+    val approx = Curation.qualityThresholdApprox(docs, "doc_id", "text", "lang", 0.4)
+      .collect().map(x => x.getLong(1) -> ((x.getDouble(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(approx.size == exact.size)
+    approx.foreach { case (id, (q, thr, keptA)) =>
+      val (qe, keptE) = exact(id)
+      assert(q == qe)
+      // any disagreement must sit exactly ON the threshold (tie semantics)
+      if (keptA != keptE) assert(q == thr, s"doc $id disagrees off-boundary: q=$q thr=$thr")
+    }
+    assert(approx.values.exists(_._3) && approx.values.exists(!_._3))
+  }
+
   test("contamination: verbatim eval copy scores 1.0, unrelated text low") {
     val evalText = mkText(500)
     val docs = Seq(
