@@ -146,6 +146,116 @@ object Dedup {
           .reduce[Column]((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  // ------------------------------------- duplicate clusters (components)
+
+  /** Connected components over an undirected near-duplicate pair list,
+    * by the alternating large-star / small-star algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", ACM SoCC'14).
+    *
+    * This is the consolidation step every dedup pipeline needs after a
+    * pair-producing pass (MinHash-LSH / SimHash / embedding-LSH):
+    * near-dup PAIRS are not clusters — A≈B and B≈C must collapse to one
+    * keeper even when A≈C was never emitted. At 10^10 docs a
+    * component can be arbitrarily large, so nothing per-component may
+    * ever sit in one task's memory:
+    *
+    *   - each phase is ONE windowed `min` over the edge list plus a
+    *     filter — shuffles partition by node id, never by component;
+    *   - the driver sees only a 2-scalar convergence signature per
+    *     phase pair (count + hash-sum), never row data;
+    *   - the paper proves O(log² n) phases to the star-forest
+    *     fixpoint (in practice a handful: the spec's 64-node path
+    *     graph converges in 4);
+    *   - `localCheckpoint` truncates lineage each phase, the same
+    *     guard the crawl loop uses against iterative plan blow-up.
+    *
+    * Input: pairs with columns `id_a`, `id_b` (any orderable id type).
+    * Output: `(id, component)` for every id appearing in `pairs`, where
+    * `component` is the COMPONENT MINIMUM id — the deterministic keeper,
+    * consistent with [[exact]]'s `keeper_id = min(id)` convention.
+    */
+  def connectedComponents(pairs: DataFrame, maxPhases: Int = 64): DataFrame = {
+    // canonical undirected edges hi > lo; self-pairs dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    // convergence signature: row count + order-independent hash XOR
+    // (bit_xor — overflow-free under ANSI mode, unlike a hash SUM).
+    // Collision would need a 64-bit XOR tie at equal cardinality between
+    // consecutive phases of a monotone contraction; the spec's
+    // union-find equivalence pins real graphs.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+    // Keyed on the symmetrized list so every node sees its full
+    // neighborhood; m ≤ u < v keeps the output canonical and loop-free.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val w = Window.partitionBy(col("u"))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star(u): over neighbors SMALLER than u (the canonical edge
+    // list keyed by its larger endpoint is exactly that neighborhood);
+    // m = min(N ∪ {u}) = min(N); emit (v, m) for v ∈ N \ {m} plus (u, m).
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("hi"))
+      val withM = e.withColumn("m", min(col("lo")).over(w))
+      withM.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(withM.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var phase = 0
+    var converged = false
+    while (!converged && phase < maxPhases) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      phase += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxPhases phases")
+
+    // fixpoint is a star forest with centers = component minima:
+    // leaves label from their edge, centers label themselves.
+    edges.select(col("hi").as("id"), col("lo").as("component"))
+      .unionAll(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .distinct()
+  }
+
+  /** Duplicate clusters over a full id universe: every id of `ids` gets
+    * its component label (ids in no pair are singletons), the component
+    * size, and the keeper verdict (`id == component`, i.e. the component
+    * minimum survives — [[exact]]'s convention). One broadcast-or-hash
+    * join + one count window; nothing per-cluster on the driver.
+    */
+  def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    ids.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("is_keeper", col("id") === col("component"))
+  }
+
   /** SimHash near-dups: block on 16-bit chunks (hamming ≤ 3 over 64 bits ⇒
     * at least one of 4 chunks equal), verify exact Hamming ≤ maxHamming.
     */

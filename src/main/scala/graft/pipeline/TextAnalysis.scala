@@ -113,6 +113,76 @@ object TextAnalysis {
     withVotes.withColumn("lang_pred", best)
   }
 
+  /** Word n-gram multiset of the tokenized text — NOT distinct (unlike
+    * [[Dedup.shingles]]) and empty below n tokens, because repetition
+    * signals need occurrence counts. Guarded: Spark's `sequence(0, -k)`
+    * would count DOWN, so short docs take the typed-empty branch.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
+    * removal"): per document,
+    *   - `top2_frac` / `top3_frac` — fraction of all word 2-/3-grams
+    *     taken by the single most frequent one (boilerplate loops);
+    *   - `dup1_frac` — fraction of tokens that are occurrences of a
+    *     repeated token;
+    *   - `dup5_frac` — fraction of 5-grams occurring more than once
+    *     (long verbatim self-repetition).
+    *
+    * Scale shape: one explode + two partial-aggregatable `groupBy`
+    * levels per n — counts combine map-side, nothing per-doc beyond the
+    * (id, gram) key ever shuffles; no windows, no collects. Exactly
+    * DuckDB-twinnable (same tokenizer as dd05's oracle-green twin), so
+    * `ta05_repetition` is a hard-oracle row.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+
+    // per-(doc, gram) counts → per-doc (max, total, duplicated-mass)
+    def stats(n: Int): DataFrame =
+      toks.select(col(idCol), explode(ngrams(col("tk"), n)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(
+          max(col("c")).as(s"max$n"),
+          sum(col("c")).as(s"tot$n"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as(s"dup$n"))
+
+    def frac(num: Column, den: Column): Column =
+      round(coalesce(num.cast("double") / den, lit(0.0)), 6)
+
+    docs.select(col(idCol))
+      .join(stats(1), Seq(idCol), "left")
+      .join(stats(2), Seq(idCol), "left")
+      .join(stats(3), Seq(idCol), "left")
+      .join(stats(5), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        frac(col("max2"), col("tot2")).as("top2_frac"),
+        frac(col("max3"), col("tot3")).as("top3_frac"),
+        frac(col("dup1"), col("tot1")).as("dup1_frac"),
+        frac(col("dup5"), col("tot5")).as("dup5_frac"))
+  }
+
+  /** Tokenizer-vocabulary builder: global top-k tokens by collection
+    * frequency (ties broken by token ASC, rank deterministic), with
+    * document frequency alongside — the vocab/most-common-pieces step of
+    * a training-data pipeline. Two partial-agg levels then a global
+    * top-k that Catalyst executes as TakeOrderedAndProject (no full
+    * sort, no single-partition shuffle) — the same plan shape the W1
+    * global-top-k operator is PlanSpec-asserted to keep.
+    */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("token"))
+    tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("cf").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     * rolling window of word-hash minima; the fingerprint set is the
     * distinct window minima — robust to local edits.

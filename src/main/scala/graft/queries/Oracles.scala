@@ -199,6 +199,37 @@ object Oracles {
         |SELECT id_a, id_b, round(c, 6) AS cos FROM p
         |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    // dd09: the dd07 pair set (exact cosine ≥ 0.4 — oracle-green twin)
+    // consolidated into connected components by a recursive CTE: reach =
+    // transitive closure from each node, component = min reachable id.
+    // Exactly the spec the Spark side's large-star/small-star computes.
+    "dd09_dup_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r),
+        |lbl AS (
+        |  SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT vec_id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size,
+        |  vec_id = component AS is_keeper
+        |FROM lbl ORDER BY vec_id""".stripMargin,
+
     "dd05_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source,
@@ -393,6 +424,53 @@ object Oracles {
         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 6) AS containment,
         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 6) >= 0.5 AS contaminated
         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // ta05: same tokenizer CTE as dd05 (oracle-green); per-n stats are
+    // two grouped levels; LEFT JOIN + coalesce(…,0.0) mirrors the Spark
+    // side's short-doc empty-gram branches. Double division + round(…,6)
+    // follows the dd05/dd07 bit-parity precedent.
+    "ta05_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1, 2),
+        |a1 AS (SELECT doc_id, sum(c) AS tot,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM c1 GROUP BY 1),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 1, 0)),
+        |      i -> array_to_string(tk[i+1:i+2], ' '))) AS g FROM toks) GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY 1),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 2, 0)),
+        |      i -> array_to_string(tk[i+1:i+3], ' '))) AS g FROM toks) GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c3 GROUP BY 1),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(greatest(len(tk) - 4, 0)),
+        |      i -> array_to_string(tk[i+1:i+5], ' '))) AS g FROM toks) GROUP BY 1, 2),
+        |a5 AS (SELECT doc_id, sum(c) AS tot,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM c5 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(coalesce(CAST(a2.mx AS DOUBLE) / a2.tot, 0.0), 6) AS top2_frac,
+        |  round(coalesce(CAST(a3.mx AS DOUBLE) / a3.tot, 0.0), 6) AS top3_frac,
+        |  round(coalesce(CAST(a1.dup AS DOUBLE) / a1.tot, 0.0), 6) AS dup1_frac,
+        |  round(coalesce(CAST(a5.dup AS DOUBLE) / a5.tot, 0.0), 6) AS dup5_frac
+        |FROM documents d
+        |LEFT JOIN a1 ON a1.doc_id = d.doc_id
+        |LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        |LEFT JOIN a3 ON a3.doc_id = d.doc_id
+        |LEFT JOIN a5 ON a5.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "ta06_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+        |FROM tok GROUP BY 1
+        |ORDER BY cf DESC, token ASC LIMIT 30""".stripMargin,
 
     "ta01_token_stats" ->
       """SELECT doc_id,

@@ -129,6 +129,20 @@ object PipelineQueries {
         nClusters = 8, tau = 0.95).orderBy(col("vec_id"))
     }),
 
+    // duplicate clusters: exact-cosine pairs (dd07's oracle-green pair
+    // set) consolidated to connected components via alternating
+    // large-star/small-star; every vector labeled with its component
+    // minimum, singletons included — FULL oracle (recursive CTE twin)
+    "dd09_dup_clusters" -> ((s, d) => {
+      val e = embs(s, d)
+      val pairs = Similarity.exactCosinePairs(e, "vec_id", "embedding", tau = 0.4)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupClusters(e.select(col("vec_id")), "vec_id", pairs)
+        .select(col("id").as("vec_id"), col("component"),
+          col("cluster_size"), col("is_keeper"))
+        .orderBy(col("vec_id"))
+    }),
+
     // C4/Gopher-style curation verdict (quality + langid + exact-dup,
     // composed per-row, one shuffle) — FULL oracle
     "pipe01_c4_filter" -> ((s, d) => {
@@ -179,6 +193,20 @@ object PipelineQueries {
     "ta03_langid" -> ((s, d) => {
       TextAnalysis.langId(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition signals (top n-gram fraction, duplicated
+    // unigram/5-gram mass) — FULL oracle
+    "ta05_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionSignals(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // tokenizer-vocabulary top-30 by collection frequency (df alongside,
+    // deterministic tie-break) — FULL oracle
+    "ta06_vocab" -> ((s, d) => {
+      TextAnalysis.vocabTopK(docs(s, d), "doc_id", "text", k = 30)
+        .orderBy(col("cf").desc, col("token").asc)
     }),
 
     // winnowing fingerprint (xxhash64 — rows-only)

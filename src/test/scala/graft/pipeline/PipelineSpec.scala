@@ -185,6 +185,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: 64-node path graph collapses to one component") {
+    // diameter-64 chain — the worst case for naive min-propagation
+    // (O(diameter) rounds); large-star/small-star must converge in
+    // O(log²) phases under the default cap
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (0L to 63L).toSet)
+    assert(cc.values.toSet == Set(0L), "every node must label to the min id 0")
+  }
+
+  test("connectedComponents ≡ local union-find on a pseudo-random graph") {
+    // deterministic edge soup: 220 nodes, ~160 edges incl. parallel
+    // edges, self-loops and reversed duplicates
+    val edges = (0 until 160).map { k =>
+      val a = (k * 7919 + 13) % 220
+      val b = (k * 104729 + k * k * 31 + 7) % 220
+      (a.toLong, b.toLong)
+    }
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+    // reference union-find with path compression
+    val parent = Array.tabulate(220)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(id => edges.exists(e => e._1 != e._2 && (e._1 == id || e._2 == id)))
+    expected.foreach { id =>
+      // the component min stays a union-find root forever (nothing
+      // smaller exists to absorb it), so find() lands on it
+      val root = find(id.toInt)
+      assert(cc(id) == root.toLong, s"node $id: cc=${cc.get(id)} uf=$root")
+    }
+  }
+
+  test("dupClusters: transitivity, singletons, string ids, keeper = component min") {
+    val ids = Seq("a", "b", "c", "d", "e", "f").toDF("doc_id")
+    val pairs = Seq(("b", "a"), ("b", "c"), ("f", "e")).toDF("id_a", "id_b")
+    val r = Dedup.dupClusters(ids, "doc_id", pairs)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r("a") == (("a", 3L, true)))
+    assert(r("b") == (("a", 3L, false)), "a~b, b~c ⇒ b labels to a transitively")
+    assert(r("c") == (("a", 3L, false)))
+    assert(r("d") == (("d", 1L, true)), "unpaired id is its own singleton keeper")
+    assert(r("e") == (("e", 2L, true)))
+    assert(r("f") == (("e", 2L, false)))
+  }
+
   test("c4Filter verdicts: duplicate / too_short / kept, first-failing reason order") {
     val good = ("the cat and the dog sat on the mat in the sun and it is warm " * 4).trim
     val docs = Seq(
@@ -291,6 +343,31 @@ class PipelineSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
     assert(r(1L) == ((16, 3, 5))) // hello , world ! 42
     assert(r(2L)._2 == 2)
+  }
+
+  test("repetitionSignals: hand-computed fractions incl. short/empty docs") {
+    val df = Seq(
+      (1L, "a b a b c"),       // dup1 4/5, top2 "a b"=2/4, top3 1/3, dup5 0/1
+      (2L, "x"),               // no 2/3/5-grams at all
+      (3L, ""),                // no tokens — every left join misses
+      (4L, "z z z z z z")      // total repetition: everything 1.0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((0.5, 0.333333, 0.8, 0.0)))
+    assert(r(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    assert(r(3L) == ((0.0, 0.0, 0.0, 0.0)))
+    assert(r(4L) == ((1.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("vocabTopK: cf ordering, token tie-break, df alongside") {
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.vocabTopK(df, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect()
+    assert(top.toSeq == Seq(("apple", 2L, 1L), ("banana", 2L, 2L)),
+      "cf desc then token asc; cherry (cf=1) must miss the k=2 cut")
   }
 
   test("langId picks the language whose markers dominate") {
