@@ -175,4 +175,64 @@ object Curation {
         round(col("n_hit").cast("double") / col("n_shingles"), 6))
       .withColumn("contaminated", col("containment") >= tau)
   }
+
+  /** PII patterns, shared by [[piiScan]] and its oracle twin. Written in
+    * the RE2-compatible subset (no lookarounds, no backrefs) so Java's
+    * regex and DuckDB's RE2 match IDENTICAL spans — the q17/ta01
+    * cross-engine-regex precedent. ASCII classes only (`\d` is ASCII in
+    * both engines without flags).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b"))
+
+  /** PII scan + redaction verdict per document: occurrence counts per
+    * pattern and the md5 of the text after replacing each match with its
+    * `<KIND>` tag, applied in the fixed PiiPatterns order (email → ipv4
+    * → ssn, so an email never half-redacts into an ipv4 false positive).
+    * Pure per-row regexp expressions — codegen'd, zero shuffles, trivially
+    * 100-TB-parallel; the md5 keeps the verdict row narrow so the
+    * redacted text itself never rides a shuffle.
+    */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (kind, rx) =>
+      size(regexp_extract_all(col(textCol), lit(rx), lit(0))).as(s"n_$kind")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (acc, (kind, rx)) =>
+      regexp_replace(acc, rx, s"<${kind.toUpperCase}>")
+    }
+    docs.select((col(idCol) +: counts) :+ md5(redacted).as("redacted_md5"): _*)
+      .withColumn("has_pii",
+        PiiPatterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
+  }
+
+  /** Deterministic global shuffle for training-order assignment: every
+    * document gets a replayable pseudo-random (shard, pos) from
+    * `md5(seed:id)` — no RNG state, identical under any partitioning or
+    * cluster size (the sampleStratified md5 convention).
+    *
+    * `shardHexChars` ∈ [1,3] gives 16 / 256 / 4096 shards via the key's
+    * leading hex digits. `pos` is the dense within-shard rank (window
+    * per shard): choose the shard count so one shard fits a task —
+    * 4096 shards ≈ 2.4M docs/shard at 10^10 — exactly the
+    * seen-table prefix-layout sizing rule. The md5 key, not the id,
+    * orders the shard, so adjacent source docs scatter across batches.
+    */
+  def shuffleDeterministic(
+      docs: DataFrame, idCol: String, seed: String,
+      shardHexChars: Int = 1): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 3,
+      s"shardHexChars must be 1..3, got $shardHexChars")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val hexVal = (0 until shardHexChars).map { i =>
+      (instr(lit("0123456789abcdef"), substring(col("shuffle_key"), i + 1, 1)) - 1) *
+        lit(math.pow(16, shardHexChars - 1 - i).toInt)
+    }.reduce[Column](_ + _)
+    docs.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard", hexVal.cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col(idCol))))
+  }
 }

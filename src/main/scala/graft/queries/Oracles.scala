@@ -425,6 +425,37 @@ object Oracles {
         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 6) >= 0.5 AS contaminated
         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // pipe06: the PiiPatterns regexes verbatim (RE2 subset — identical
+    // span semantics in Java regex and DuckDB's RE2; q17/ta01
+    // precedent). Replacement order email → ipv4 → ssn matches the
+    // Spark fold; 'g' flag = Spark regexp_replace's replace-all default.
+    "pipe06_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS redacted_md5,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) > 0
+        |   OR len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) > 0) AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pipe07: md5-keyed deterministic shuffle — shard = leading hex
+    // nibble, pos = dense rank within shard by (key, id).
+    "pipe07_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY strpos('0123456789abcdef', substr(shuffle_key, 1, 1))
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // ta05: same tokenizer CTE as dd05 (oracle-green); per-n stats are
     // two grouped levels; LEFT JOIN + coalesce(…,0.0) mirrors the Spark
     // side's short-doc empty-gram branches. Double division + round(…,6)

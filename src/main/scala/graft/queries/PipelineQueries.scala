@@ -177,6 +177,19 @@ object PipelineQueries {
         topFraction = 0.4).orderBy(col("doc_id"))
     }),
 
+    // PII scan + redaction verdict (counts per pattern + redacted-text
+    // md5; RE2-subset regexes shared with the oracle) — FULL oracle
+    "pipe06_pii" -> ((s, d) => {
+      Curation.piiScan(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // deterministic training-order shuffle: replayable (shard, pos)
+    // from md5(seed:id), 16 shards — FULL oracle
+    "pipe07_shuffle" -> ((s, d) => {
+      Curation.shuffleDeterministic(docs(s, d), "doc_id", seed = "epoch0")
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting — FULL oracle
     "ta01_token_stats" -> ((s, d) => {
       TextAnalysis.tokenStats(docs(s, d), "doc_id", "text")

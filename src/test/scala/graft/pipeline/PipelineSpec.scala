@@ -370,6 +370,45 @@ class PipelineSpec extends AnyFunSuite {
       "cf desc then token asc; cherry (cf=1) must miss the k=2 cut")
   }
 
+  test("piiScan: planted PII counted and redacted, clean text untouched") {
+    val dirty = "mail john.doe@example.com or admin@test.org, " +
+      "host 10.0.0.1 port 80, ssn 123-45-6789 end"
+    val clean = "no personal data in this row at all"
+    val df = Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text")
+    val r = Curation.piiScan(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4), x.getBoolean(5)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val redacted = "mail <EMAIL> or <EMAIL>, host <IPV4> port 80, ssn <SSN> end"
+    assert(r(1L) == ((2, 1, 1, md5hex(redacted), true)))
+    assert(r(2L) == ((0, 0, 0, md5hex(clean), false)))
+  }
+
+  test("shuffleDeterministic: replayable under repartitioning, dense per-shard pos") {
+    val docs = (0L until 200L).map(d => (d, s"t$d")).toDF("doc_id", "text")
+    val a = Curation.shuffleDeterministic(docs, "doc_id", "epoch0")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Curation.shuffleDeterministic(docs.repartition(7), "doc_id", "epoch0")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "shuffle assignment must not depend on input partitioning")
+
+    val rows = Curation.shuffleDeterministic(docs, "doc_id", "epoch0")
+      .select("shard", "pos").as[(Int, Int)].collect()
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0 until 16).toSet))
+    assert(byShard.size > 4, "200 md5 keys must scatter over many shards")
+    byShard.foreach { case (sh, ps) =>
+      assert(ps.map(_._2).sorted.toSeq == (1 to ps.length).toSeq,
+        s"shard $sh pos must be dense 1..${ps.length}")
+    }
+    // a different seed reshuffles
+    val c = Curation.shuffleDeterministic(docs, "doc_id", "epoch1")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a != c, "seed must change the assignment")
+  }
+
   test("langId picks the language whose markers dominate") {
     val df = Seq(
       (1L, "le chat est sur la table et le chien est dans les champs"),
