@@ -65,27 +65,48 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("minhash"))
   }
 
-  /** LSH banding: bands of rows hashed together; docs sharing any band
-    * bucket are candidate near-duplicates.
+  /** LSH band-bucket rows `(id, band, band_hash)` of a signature table —
+    * the unit the COMMITTED [[MinHashIndex]] persists: band rows are
+    * per-doc independent, so incremental append is EXACTLY equivalent to
+    * a full rebuild (set equality, not probabilistic).
     */
-  def lshCandidatePairs(
+  def lshBands(
       signatures: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = signatures.select(
+      bands: Int, rowsPerBand: Int): DataFrame =
+    signatures.select(
       col(idCol),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, array_join(
           transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")), ",")))).as(Seq("band", "band_hash")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+
+  /** Candidate pairs touching `probe` from a band self/cross join:
+    * canonicalized (least, greatest) so probe-side ids may sit on either
+    * end — the shape both the inline all-pairs path and the committed
+    * index's delta-vs-index path share. Equi shuffle join on
+    * (band, band_hash); AQE handles the odd hot bucket.
+    */
+  def pairsFromBands(probe: DataFrame, index: DataFrame, idCol: String): DataFrame = {
+    val a = probe.as("a")
+    val b = index.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       .distinct()
+  }
+
+  /** LSH banding: bands of rows hashed together; docs sharing any band
+    * bucket are candidate near-duplicates.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = lshBands(signatures, idCol, bands, rowsPerBand)
+    pairsFromBands(banded, banded, idCol)
   }
 
   /** Exact Jaccard over distinct k-shingles for given candidate pairs:
@@ -95,7 +116,14 @@ object Dedup {
   def exactJaccard(
       docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
+    // verify only candidate docs: at 10^10 the pair list is vastly
+    // smaller than the corpus, so the semi join prunes the shingle
+    // explode to docs appearing in ≥1 pair (pure filter — results
+    // identical, dd05's exact oracle pins it)
+    val candIds = pairs.select(col("id_a").as("cid"))
+      .unionAll(pairs.select(col("id_b").as("cid"))).distinct()
+    val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+    val sh = cand.select(col(idCol).as("jid"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("jid").as("id_a"), col("sh"))

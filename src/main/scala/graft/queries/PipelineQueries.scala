@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, MinHashIndex, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,21 @@ object PipelineQueries {
     "dd08_semdedup" -> ((s, d) => {
       Similarity.semDeDup(embs(s, d), "vec_id", "embedding",
         nClusters = 8, tau = 0.95).orderBy(col("vec_id"))
+    }),
+
+    // COMMITTED MinHash-LSH band index: build on ⅔ of the corpus,
+    // append the rest incrementally, then verify near-dups over the
+    // committed bands — rows EQUAL dd03's inline pipeline (spec-pinned
+    // set equality; rows-only here: xxhash64 signatures)
+    "dd10_minhash_committed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val store = new graft.store.SnapshotStore(
+        java.nio.file.Files.createTempDirectory("dd-bands").toString, s)
+      MinHashIndex.build(store, 0, dd.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      MinHashIndex.append(store, 1, dd.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      MinHashIndex.nearDups(store, dd, "doc_id", "text", tau = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // duplicate clusters: exact-cosine pairs (dd07's oracle-green pair

@@ -185,6 +185,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashIndex: committed build+append ≡ inline bands; nearDups ≡ inline; delta pairs = touching subset") {
+    val store = new graft.store.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("mh-index").toString, spark)
+    val a = nearDupDocs.filter(col("doc_id") < 20)
+    val b = nearDupDocs.filter(col("doc_id") >= 20)
+    MinHashIndex.build(store, 0, a, "doc_id", "text")
+    MinHashIndex.append(store, 1, b, "doc_id", "text")
+
+    // band rows are per-doc independent ⇒ EXACT set equality with one
+    // inline pass over the union
+    val committed = store.read(MinHashIndex.BandsTable)
+      .as[(Long, Int, Long)].collect().toSet
+    val inline = Dedup.lshBands(
+      Dedup.minhashSignatures(nearDupDocs, "doc_id", "text"), "doc_id", 16, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(committed == inline)
+
+    val nd = MinHashIndex.nearDups(store, nearDupDocs, "doc_id", "text", tau = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inlineNd = Dedup.minhashNearDups(nearDupDocs, "doc_id", "text", tau = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(nd == inlineNd, "committed-index near-dups must equal the inline pipeline")
+
+    // the per-batch query returns exactly the full pairs touching the delta
+    val bIds = b.select("doc_id").as[Long].collect().toSet
+    val full = MinHashIndex.candidatePairs(store, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val delta = MinHashIndex.candidatePairsFor(store, b.select("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(delta == full.filter(p => bIds(p._1) || bIds(p._2)))
+    assert(delta.nonEmpty)
+  }
+
   test("connectedComponents: 64-node path graph collapses to one component") {
     // diameter-64 chain — the worst case for naive min-propagation
     // (O(diameter) rounds); large-star/small-star must converge in
