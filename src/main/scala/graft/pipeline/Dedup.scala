@@ -81,13 +81,29 @@ object Dedup {
           transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")), ",")))).as(Seq("band", "band_hash")))
 
-  /** Candidate pairs touching `probe` from a band self/cross join:
-    * canonicalized (least, greatest) so probe-side ids may sit on either
-    * end — the shape both the inline all-pairs path and the committed
-    * index's delta-vs-index path share. Equi shuffle join on
-    * (band, band_hash); AQE handles the odd hot bucket.
+  /** All candidate pairs of one band table — self-join with the strict
+    * `id_a < id_b` condition, which halves the pre-distinct row volume
+    * vs the symmetric form (each pair matches once per shared bucket,
+    * not twice). Equi shuffle join on (band, band_hash); AQE handles
+    * the odd hot bucket.
     */
-  def pairsFromBands(probe: DataFrame, index: DataFrame, idCol: String): DataFrame = {
+  def pairsFromBands(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs TOUCHING `probe` (a subset of `index`'s docs):
+    * probe ids may sit on either end, so the join is `=!=` with
+    * (least, greatest) canonicalization — the committed index's
+    * delta-vs-index shape, costed by the probe side.
+    */
+  def pairsTouchingBands(probe: DataFrame, index: DataFrame, idCol: String): DataFrame = {
     val a = probe.as("a")
     val b = index.as("b")
     a.join(b,
@@ -104,10 +120,8 @@ object Dedup {
     */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = lshBands(signatures, idCol, bands, rowsPerBand)
-    pairsFromBands(banded, banded, idCol)
-  }
+      bands: Int, rowsPerBand: Int): DataFrame =
+    pairsFromBands(lshBands(signatures, idCol, bands, rowsPerBand), idCol)
 
   /** Exact Jaccard over distinct k-shingles for given candidate pairs:
     * |A∩B| by equi-join on shingle, sizes joined back — set algebra as

@@ -63,10 +63,8 @@ object MinHashIndex {
         bandRows(newDocs, idCol, textCol, shingleK, numHashes, bands)))
 
   /** All candidate pairs in the committed index (id_a < id_b). */
-  def candidatePairs(store: SnapshotStore, idCol: String): DataFrame = {
-    val banded = store.read(BandsTable)
-    Dedup.pairsFromBands(banded, banded, idCol)
-  }
+  def candidatePairs(store: SnapshotStore, idCol: String): DataFrame =
+    Dedup.pairsFromBands(store.read(BandsTable), idCol)
 
   /** Candidate pairs TOUCHING the given delta ids — the per-batch query:
     * delta bands are re-read from the committed table (one partition-
@@ -79,7 +77,7 @@ object MinHashIndex {
     val probe = banded.join(
       deltaIds.select(col(idCol).as("did")),
       col(idCol) === col("did"), "left_semi")
-    Dedup.pairsFromBands(probe, banded, idCol)
+    Dedup.pairsTouchingBands(probe, banded, idCol)
   }
 
   /** Near-dups with exact-Jaccard verification over `docs` texts:
