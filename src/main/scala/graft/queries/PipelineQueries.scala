@@ -158,6 +158,20 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // END-TO-END text dedup: MinHash-LSH near-dup pairs → connected
+    // components → keeper verdict over every document (the full
+    // pair-producing + consolidation composition; rows-only: xxhash64
+    // signatures — dd09 is the oracle-green CC twin on exact pairs)
+    "dd11_text_dup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashNearDups(dd, "doc_id", "text", tau = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupClusters(dd.select(col("doc_id")), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"),
+          col("cluster_size"), col("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4/Gopher-style curation verdict (quality + langid + exact-dup,
     // composed per-row, one shuffle) — FULL oracle
     "pipe01_c4_filter" -> ((s, d) => {

@@ -256,6 +256,14 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents/dupClusters: empty pair list ⇒ all singletons") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    val r = Dedup.dupClusters((1L to 3L).toDF("doc_id"), "doc_id", noPairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(r == Set((1L, 1L, 1L, true), (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
+  }
+
   test("dupClusters: transitivity, singletons, string ids, keeper = component min") {
     val ids = Seq("a", "b", "c", "d", "e", "f").toDF("doc_id")
     val pairs = Seq(("b", "a"), ("b", "c"), ("f", "e")).toDF("id_a", "id_b")
