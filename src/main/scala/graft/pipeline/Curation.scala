@@ -207,6 +207,32 @@ object Curation {
         PiiPatterns.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
   }
 
+  /** Data-mixture composition table: per stratum (e.g. lang × source)
+    * document / token / char mass plus each stratum's fraction of the
+    * global mass — the mixture-weights input every pretraining run
+    * starts from. One partial-aggregatable groupBy over the corpus; the
+    * whole-frame fraction window runs on the AGGREGATED table, which is
+    * |strata| rows by construction — the one place a SinglePartition
+    * exchange is correct, because the input is already driver-small.
+    */
+  def mixtureTable(
+      docs: DataFrame, textCol: String, strataCols: Seq[String]): DataFrame = {
+    val base = docs.select(
+      strataCols.map(col) :+
+        size(TextAnalysis.wsTokens(col(textCol))).as("n_tokens") :+
+        length(col(textCol)).as("n_chars"): _*)
+    val agg = base.groupBy(strataCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("token_mass"),
+      sum(col("n_chars")).as("char_mass"))
+    val w = Window.partitionBy()
+    agg
+      .withColumn("doc_frac",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+      .withColumn("token_frac",
+        round(col("token_mass").cast("double") / sum(col("token_mass")).over(w), 6))
+  }
+
   /** Deterministic global shuffle for training-order assignment: every
     * document gets a replayable pseudo-random (shard, pos) from
     * `md5(seed:id)` — no RNG state, identical under any partitioning or

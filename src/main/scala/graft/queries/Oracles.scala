@@ -456,6 +456,24 @@ object Oracles {
         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // pipe08: ta01's whitespace tokenizer; sums cast to BIGINT to match
+    // Spark's sum(int)→long (DuckDB sum(INTEGER) is HUGEINT otherwise).
+    "pipe08_mixture" ->
+      """WITH per AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+        |    length(text) AS n_chars
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+        |    CAST(sum(n_chars) AS BIGINT) AS char_mass
+        |  FROM per GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, token_mass, char_mass,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_frac,
+        |  round(CAST(token_mass AS DOUBLE) / sum(token_mass) OVER (), 6) AS token_frac
+        |FROM agg ORDER BY lang, source""".stripMargin,
+
     // ta05: same tokenizer CTE as dd05 (oracle-green); per-n stats are
     // two grouped levels; LEFT JOIN + coalesce(…,0.0) mirrors the Spark
     // side's short-doc empty-gram branches. Double division + round(…,6)

@@ -219,6 +219,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // data-mixture composition per (lang, source) stratum — FULL oracle
+    "pipe08_mixture" -> ((s, d) => {
+      Curation.mixtureTable(docs(s, d), "text", Seq("lang", "source"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // token counting — FULL oracle
     "ta01_token_stats" -> ((s, d) => {
       TextAnalysis.tokenStats(docs(s, d), "doc_id", "text")

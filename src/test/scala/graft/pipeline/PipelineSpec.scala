@@ -450,6 +450,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != c, "seed must change the assignment")
   }
 
+  test("mixtureTable: per-stratum masses and global fractions") {
+    val df = Seq(
+      (1L, "a b", "en", "s1"), (2L, "c", "en", "s1"), (3L, "d e f", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Curation.mixtureTable(df, "text", Seq("lang", "source"))
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6, x._7))).toMap
+    assert(r(("en", "s1")) == ((2L, 3L, 4L, 0.666667, 0.5)))
+    assert(r(("fr", "s2")) == ((1L, 3L, 5L, 0.333333, 0.5)))
+  }
+
   test("langId picks the language whose markers dominate") {
     val df = Seq(
       (1L, "le chat est sur la table et le chien est dans les champs"),
