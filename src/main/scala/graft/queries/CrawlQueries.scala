@@ -124,6 +124,15 @@ object CrawlQueries {
         .agg(max(col("round")).as("last_seen_round"), count(lit(1)).as("n_obs"))
         .orderBy(col("host"), col("media_ref"))),
 
+    // host-importance PageRank over the committed link graph (fixed 10
+    // iterations, dangling mass redistributed; deterministic — rows-only:
+    // engine-internal input; RankSpec pins values vs a local reference)
+    "crawl14_pagerank" -> ((s, _) =>
+      graft.analytics.Rank.pageRank(store(s).read("links"))
+        .select(col("host"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("rank").desc, col("host").asc)
+        .limit(20)),
+
     // SQL entry point over registered snapshot views + JSON projection
     // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)
     "crawl10_sql_api" -> ((s, _) => {
