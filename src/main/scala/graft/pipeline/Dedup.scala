@@ -133,9 +133,10 @@ object Dedup {
     // verify only candidate docs: at 10^10 the pair list is vastly
     // smaller than the corpus, so the semi join prunes the shingle
     // explode to docs appearing in ≥1 pair (pure filter — results
-    // identical, dd05's exact oracle pins it)
+    // identical, dd05's exact oracle pins it; no distinct on the id
+    // union — LEFT SEMI deduplicates by construction)
     val candIds = pairs.select(col("id_a").as("cid"))
-      .unionAll(pairs.select(col("id_b").as("cid"))).distinct()
+      .unionAll(pairs.select(col("id_b").as("cid")))
     val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
     val sh = cand.select(col(idCol).as("jid"),
       explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
@@ -285,17 +286,24 @@ object Dedup {
   /** Duplicate clusters over a full id universe: every id of `ids` gets
     * its component label (ids in no pair are singletons), the component
     * size, and the keeper verdict (`id == component`, i.e. the component
-    * minimum survives — [[exact]]'s convention). One broadcast-or-hash
-    * join + one count window; nothing per-cluster on the driver.
+    * minimum survives — [[exact]]'s convention).
+    *
+    * `cluster_size` is a partial-aggregated groupBy joined back, NOT a
+    * count window over `component`: a window partition holds its whole
+    * cluster in one task, and a degenerate corpus (everything near-dup
+    * of everything) would funnel 10^10 rows into it, while the groupBy
+    * combines map-side and the join redistributes by component hash.
     */
   def dupClusters(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
-    ids.select(col(idCol).as("id"))
+    val labeled = ids.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .withColumn("component", coalesce(col("component"), col("id")))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("component"))))
-      .withColumn("is_keeper", col("id") === col("component"))
+    val sizes = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("component"))
+      .select(col("id"), col("component"), col("cluster_size"),
+        (col("id") === col("component")).as("is_keeper"))
   }
 
   /** SimHash near-dups: block on 16-bit chunks (hamming ≤ 3 over 64 bits ⇒

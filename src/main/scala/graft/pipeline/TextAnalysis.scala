@@ -140,25 +140,33 @@ object TextAnalysis {
     * `ta05_repetition` is a hard-oracle row.
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
-
-    // per-(doc, gram) counts → per-doc (max, total, duplicated-mass)
-    def stats(n: Int): DataFrame =
-      toks.select(col(idCol), explode(ngrams(col("tk"), n)).as("g"))
-        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col(idCol)).agg(
-          max(col("c")).as(s"max$n"),
-          sum(col("c")).as(s"tot$n"),
-          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as(s"dup$n"))
-
+    // ONE corpus scan: every n's grams ride the same explode tagged with
+    // n, then two partial-aggregatable groupBy levels and a
+    // conditional-agg pivot back to columns — not one scan + shuffle
+    // pair per n (4× the input reads at 100 TB for the same rows)
+    val Ns = Seq(1, 2, 3, 5)
+    val tagged = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(flatten(array(Ns.map(n =>
+        transform(ngrams(col("tk"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
+    val stats = tagged
+      .groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n")).agg(
+        max(col("c")).as("mx"),
+        sum(col("c")).as("tot"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+    def pick(n: Int, c: String): Column = max(when(col("n") === n, col(c)))
     def frac(num: Column, den: Column): Column =
       round(coalesce(num.cast("double") / den, lit(0.0)), 6)
-
+    val wide = stats.groupBy(col(idCol)).agg(
+      pick(2, "mx").as("max2"), pick(2, "tot").as("tot2"),
+      pick(3, "mx").as("max3"), pick(3, "tot").as("tot3"),
+      pick(1, "dup").as("dup1"), pick(1, "tot").as("tot1"),
+      pick(5, "dup").as("dup5"), pick(5, "tot").as("tot5"))
     docs.select(col(idCol))
-      .join(stats(1), Seq(idCol), "left")
-      .join(stats(2), Seq(idCol), "left")
-      .join(stats(3), Seq(idCol), "left")
-      .join(stats(5), Seq(idCol), "left")
+      .join(wide, Seq(idCol), "left")
       .select(
         col(idCol),
         frac(col("max2"), col("tot2")).as("top2_frac"),

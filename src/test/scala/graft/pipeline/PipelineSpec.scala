@@ -202,6 +202,14 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSet
     assert(committed == inline)
 
+    // time travel: snapshot 0 still reads exactly build(A)'s bands
+    val at0 = store.readAt(MinHashIndex.BandsTable, 0)
+      .as[(Long, Int, Long)].collect().toSet
+    val inlineA = Dedup.lshBands(
+      Dedup.minhashSignatures(a, "doc_id", "text"), "doc_id", 16, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(at0 == inlineA, "pre-append snapshot must time-travel intact")
+
     val nd = MinHashIndex.nearDups(store, nearDupDocs, "doc_id", "text", tau = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     val inlineNd = Dedup.minhashNearDups(nearDupDocs, "doc_id", "text", tau = 0.5)
