@@ -8,6 +8,64 @@ package graft.queries
   */
 object Oracles {
 
+  /** pipe01's verdict CTE chain (p0 → verdict), shared verbatim with the
+    * pipe09 composition so the two oracles cannot drift. Programmatic:
+    * the langid vote expressions mirror TextAnalysis.LangMarkers.
+    */
+  private val C4VerdictCtes: String = {
+    val markers = Map(
+      "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " ein "),
+      "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in "),
+      "es" -> Seq(" el ", " la ", " y ", " es ", " los ", " una "),
+      "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", " une "))
+    val langs = markers.keys.toSeq.sorted
+    def votes(l: String) = markers(l)
+      .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+      .mkString(" + ")
+    val voteCols = langs.map(l => s"${votes(l)} AS v_$l").mkString(",\n  ")
+    val gmax = s"greatest(${langs.map("v_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN v_$l > 0 AND v_$l = $gmax THEN '$l'")
+      .mkString(" ")
+    s"""p0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+       |v AS (SELECT doc_id, text,
+       |  $voteCols
+       |FROM p0),
+       |lp AS (SELECT doc_id, text, CASE $cases ELSE 'und' END AS lang_pred FROM v),
+       |base AS (
+       |  SELECT doc_id, lang_pred,
+       |    length(text) AS nchar,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS ntok,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> lower(t) IN ('the','a','of','and','to','in','is','that','for','on',
+       |                        'with','as','at','by','an','be','this'))) AS stophits,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+       |  FROM lp
+       |), scored AS (
+       |  SELECT doc_id, lang_pred, ntok, is_duplicate,
+       |    CASE WHEN ntok > 0 THEN CAST(nchar - (ntok - 1) AS DOUBLE) / ntok ELSE 0.0 END AS mwl,
+       |    least(CAST(nchar AS DOUBLE) / 200.0, 1.0) AS len_score,
+       |    least(CAST(stophits AS DOUBLE) * 10.0 / greatest(ntok, 1), 1.0) AS stop_score,
+       |    1.0 - least(CAST(punct AS DOUBLE) * 20.0 / greatest(nchar, 1), 1.0) AS punct_score
+       |  FROM base
+       |), fin AS (
+       |  SELECT doc_id, lang_pred, CAST(ntok AS INT) AS n_tokens,
+       |    round(len_score * 0.3 + stop_score * 0.2 + punct_score * 0.3 +
+       |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality,
+       |    is_duplicate
+       |  FROM scored
+       |), verdict AS (
+       |  SELECT doc_id, lang_pred, n_tokens, quality, is_duplicate,
+       |    CASE WHEN is_duplicate THEN 'duplicate'
+       |         WHEN n_tokens < 5 THEN 'too_short'
+       |         WHEN n_tokens > 5000 THEN 'too_long'
+       |         WHEN quality < 0.55 THEN 'low_quality'
+       |         WHEN lang_pred NOT IN ('de','en','es','fr') THEN 'lang'
+       |         ELSE '' END AS reject_reason
+       |  FROM fin)""".stripMargin
+  }
+
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -290,61 +348,30 @@ object Oracles {
     // pipe01: quality (ta02's formulas) + langid (ta03's vote CASE) +
     // exact-dup window (dd01's md5 partition) composed into the same
     // first-failing reject_reason Spark computes
-    "pipe01_c4_filter" -> {
-      val markers = Map(
-        "de" -> Seq(" der ", " die ", " und ", " ist ", " das ", " ein "),
-        "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " in "),
-        "es" -> Seq(" el ", " la ", " y ", " es ", " los ", " una "),
-        "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", " une "))
-      val langs = markers.keys.toSeq.sorted
-      def votes(l: String) = markers(l)
-        .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
-        .mkString(" + ")
-      val voteCols = langs.map(l => s"${votes(l)} AS v_$l").mkString(",\n  ")
-      val gmax = s"greatest(${langs.map("v_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN v_$l > 0 AND v_$l = $gmax THEN '$l'")
-        .mkString(" ")
-      s"""WITH p0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
-         |v AS (SELECT doc_id, text,
-         |  $voteCols
-         |FROM p0),
-         |lp AS (SELECT doc_id, text, CASE $cases ELSE 'und' END AS lang_pred FROM v),
-         |base AS (
-         |  SELECT doc_id, lang_pred,
-         |    length(text) AS nchar,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS ntok,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |      t -> lower(t) IN ('the','a','of','and','to','in','is','that','for','on',
-         |                        'with','as','at','by','an','be','this'))) AS stophits,
-         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
-         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
-         |  FROM lp
-         |), scored AS (
-         |  SELECT doc_id, lang_pred, ntok, is_duplicate,
-         |    CASE WHEN ntok > 0 THEN CAST(nchar - (ntok - 1) AS DOUBLE) / ntok ELSE 0.0 END AS mwl,
-         |    least(CAST(nchar AS DOUBLE) / 200.0, 1.0) AS len_score,
-         |    least(CAST(stophits AS DOUBLE) * 10.0 / greatest(ntok, 1), 1.0) AS stop_score,
-         |    1.0 - least(CAST(punct AS DOUBLE) * 20.0 / greatest(nchar, 1), 1.0) AS punct_score
-         |  FROM base
-         |), fin AS (
-         |  SELECT doc_id, lang_pred, CAST(ntok AS INT) AS n_tokens,
-         |    round(len_score * 0.3 + stop_score * 0.2 + punct_score * 0.3 +
-         |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality,
-         |    is_duplicate
-         |  FROM scored
-         |), verdict AS (
-         |  SELECT doc_id, lang_pred, n_tokens, quality, is_duplicate,
-         |    CASE WHEN is_duplicate THEN 'duplicate'
-         |         WHEN n_tokens < 5 THEN 'too_short'
-         |         WHEN n_tokens > 5000 THEN 'too_long'
-         |         WHEN quality < 0.55 THEN 'low_quality'
-         |         WHEN lang_pred NOT IN ('de','en','es','fr') THEN 'lang'
-         |         ELSE '' END AS reject_reason
-         |  FROM fin)
+    "pipe01_c4_filter" ->
+      s"""WITH ${C4VerdictCtes}
          |SELECT doc_id, lang_pred, n_tokens, quality, is_duplicate,
          |  reject_reason, reject_reason = '' AS kept
-         |FROM verdict ORDER BY doc_id""".stripMargin
-    },
+         |FROM verdict ORDER BY doc_id""".stripMargin,
+
+    // pipe09: the full curation composition — pipe01's verdict CTEs
+    // verbatim, kept rows only, then pipe07's md5 shuffle assignment
+    // recomputed over the kept population (matching the Spark side,
+    // which shuffles the FILTERED set).
+    "pipe09_curation_pipeline" ->
+      s"""WITH ${C4VerdictCtes},
+         |kept AS (
+         |  SELECT doc_id, lang_pred, quality FROM verdict WHERE reject_reason = ''),
+         |k AS (
+         |  SELECT doc_id, lang_pred, quality,
+         |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM kept)
+         |SELECT doc_id, lang_pred, quality,
+         |  CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY strpos('0123456789abcdef', substr(shuffle_key, 1, 1))
+         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // quality CTE = ta02's formulas; cume_dist has identical SQL-standard
     // tie semantics in both engines; kept uses the ROUNDED percentile in

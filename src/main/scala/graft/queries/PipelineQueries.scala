@@ -219,6 +219,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the full curation pipeline END-TO-END: c4 keep verdict →
+    // deterministic shuffle assignment over the KEPT set — FULL oracle
+    // (pipe01's verdict CTEs + pipe07's shuffle tail, shared verbatim)
+    "pipe09_curation_pipeline" -> ((s, d) => {
+      val kept = Curation.c4Filter(docs(s, d), "doc_id", "text")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+      val shuffled = Curation.shuffleDeterministic(kept, "doc_id", seed = "epoch0")
+      kept.join(shuffled.select(col("doc_id"), col("shard"), col("pos")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // data-mixture composition per (lang, source) stratum — FULL oracle
     "pipe08_mixture" -> ((s, d) => {
       Curation.mixtureTable(docs(s, d), "text", Seq("lang", "source"))
