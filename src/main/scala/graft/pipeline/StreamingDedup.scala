@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.store.SnapshotStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+
+/** Structured-Streaming twin of the committed MinHash-LSH dedup — the
+  * steady-state shape of a 100-TB ingest: documents ARRIVE in batches,
+  * and each micro-batch must discover its near-duplicates against
+  * everything already ingested WITHOUT recomputing corpus signatures.
+  *
+  * `foreachBatch` + `Trigger.AvailableNow` over a file source; each
+  * micro-batch advances the SAME [[SnapshotStore]] by ONE atomic commit
+  * appending three tables:
+  *   - `dd_docs`    — the batch's (id, text) rows (verification corpus);
+  *   - `dd_bands`   — the batch's LSH band rows ([[MinHashIndex]]'s
+  *     table: per-doc independent, so the accreted table always equals
+  *     a full rebuild);
+  *   - `dd_pairs`   — exact-Jaccard-verified near-dup pairs TOUCHING
+  *     the batch, probed against committed ∪ in-flight bands.
+  *
+  * Every cross-batch pair is discovered exactly once — when its LATER
+  * endpoint arrives — so after the stream drains, `dd_pairs` equals the
+  * inline [[Dedup.minhashNearDups]] over the full corpus EXACTLY
+  * (StreamingSpec pins set equality). Source progress is checkpointed:
+  * a killed stream restarted on the same workDir re-processes only
+  * unseen files, and the store's atomic snapshot commit makes the
+  * append idempotent-per-batch (the crawl loop's exactly-once recipe).
+  */
+object StreamingDedup {
+
+  val DocsTable = "dd_docs"
+  val PairsTable = "dd_pairs"
+
+  /** Drain all parquet files under `docsDir` as micro-batches into
+    * `store`; returns the number of non-empty batches processed.
+    */
+  def run(
+      store: SnapshotStore, docsDir: String, schema: StructType,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.5,
+      workDir: Option[String] = None)(implicit spark: SparkSession): Int = {
+    val base = Paths.get(workDir.getOrElse(
+      Files.createTempDirectory("dedup-stream").toString))
+    Files.createDirectories(base)
+    var processed = 0
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
+        if (batch.count() > 0) {
+          val snap = store.latestSnapshot.map(_ + 1).getOrElse(0)
+          val hasPrev = store.latestSnapshot.isDefined
+          val delta = Dedup.lshBands(
+            Dedup.minhashSignatures(batch, idCol, textCol, shingleK, numHashes),
+            idCol, bands, numHashes / bands)
+          val allBands =
+            if (hasPrev) store.read(MinHashIndex.BandsTable).unionByName(delta)
+            else delta
+          val allDocs =
+            if (hasPrev) store.read(DocsTable).unionByName(batch) else batch
+          val cands = Dedup.pairsTouchingBands(delta, allBands, idCol)
+          val pairs = Dedup
+            .exactJaccard(allDocs, cands, idCol, textCol, shingleK)
+            .filter(col("jaccard") >= tau)
+            .select(col("id_a"), col("id_b"),
+              round(col("jaccard"), 6).as("jaccard"))
+          store.commit(snap,
+            overwrite = Map.empty,
+            append = Map(
+              DocsTable -> batch,
+              MinHashIndex.BandsTable -> delta,
+              PairsTable -> pairs))
+          processed += 1
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("checkpoint").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    processed
+  }
+}

@@ -43,6 +43,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.subsetOf(streamed), s"missing windows: ${batch -- streamed}")
   }
 
+  test("streaming incremental dedup drains to EXACTLY the inline near-dup pairs; checkpoint resumes") {
+    import graft.pipeline.{Dedup, StreamingDedup}
+    // near-dup corpus: (2i, 2i+1) differ by one word — split in 3 files
+    def mkText(seed: Int): String =
+      (0 until 40).map(k => s"w${(seed * 31 + k * 7) % 97}").mkString(" ")
+    val docs = (0 until 18).flatMap { i =>
+      val base = mkText(i)
+      Seq((i * 2L, base), (i * 2L + 1, base + " extraword"))
+    }.toDF("doc_id", "text")
+    val docsDir = Files.createTempDirectory("dedup-stream-docs").toString
+    val work = Files.createTempDirectory("dedup-stream-work").toString
+    def writeFile(lo: Long, hi: Long, name: String): Unit =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$docsDir/$name")
+    writeFile(0, 12, "f1"); writeFile(12, 24, "f2")
+
+    val store = new graft.store.SnapshotStore(
+      Files.createTempDirectory("dedup-stream-store").toString, spark)
+    val n1 = StreamingDedup.run(store, docsDir + "/*", docs.schema,
+      "doc_id", "text", workDir = Some(work))
+    assert(n1 == 2, "two files ⇒ two micro-batches")
+
+    // late-arriving third file: SAME workDir resumes from the source
+    // checkpoint and processes ONLY the new file
+    writeFile(24, 36, "f3")
+    val n2 = StreamingDedup.run(store, docsDir + "/*", docs.schema,
+      "doc_id", "text", workDir = Some(work))
+    assert(n2 == 1, "resume must re-process only the unseen file")
+
+    // the drained pair table equals the inline batch pipeline EXACTLY:
+    // every cross-batch pair is found when its later endpoint arrives
+    val streamed = store.read(StreamingDedup.PairsTable)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.minhashNearDups(docs, "doc_id", "text", tau = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == inline)
+    assert(streamed.nonEmpty)
+    // and the accreted band table equals a full rebuild (index invariant)
+    val bands = store.read(graft.pipeline.MinHashIndex.BandsTable)
+      .as[(Long, Int, Long)].collect().toSet
+    val rebuilt = Dedup.lshBands(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id", 16, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bands == rebuilt)
+  }
+
   test("flatMapGroupsWithState sessionization emits per-user sessions on timeout") {
     val q = EventStreams.sessionize(
       EventStreams.readEvents(spark, eventsDir).as[Event])
