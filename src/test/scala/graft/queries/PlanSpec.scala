@@ -79,6 +79,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CollectLimit"))
   }
 
+  test("ta05 repetition signals: ONE corpus explode, partial-agg levels") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.pipeline.TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the single-scan rewrite's invariant: all n-gram sizes ride one
+    // tagged explode (one Generate), not one scan per n
+    assert("Generate ".r.findAllIn(p).size == 1,
+      s"expected exactly one explode in:\n${p.take(3000)}")
+    assert(p.contains("partial_"), "gram counts must combine map-side")
+  }
+
+  test("pipe08 mixture: the only SinglePartition exchange sits above the strata aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.Curation.mixtureTable(docs, "text", Seq("lang", "source"))
+      .queryExecution.executedPlan
+    val single = plan.toString.linesIterator
+      .filter(_.contains("SinglePartition")).toSeq
+    assert(single.nonEmpty, "whole-frame fraction window expected")
+    // the corpus-side aggregate below it must still be hash-partitioned
+    assert(plan.toString.contains("hashpartitioning"),
+      "per-stratum aggregate must shuffle by stratum, not gather")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan only on execution — run it, then inspect
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
