@@ -80,10 +80,16 @@ object PlanDump {
           "loop is iterative — is one windowed min over the edge list " +
           "partitioned by NODE id, so no component ever gathers in a task."),
       "ta05_repetition" ->
-        ("Gopher repetition signals: per-n gram explode → two " +
-          "hash-aggregate levels, both with partial (map-side) aggregation; " +
-          "the per-n stats join back on doc_id — no windows, no " +
-          "SinglePartition."))
+        ("Gopher repetition signals: ONE tagged gram explode (single " +
+          "Generate — PlanSpec-asserted) → two hash-aggregate levels with " +
+          "partial (map-side) aggregation → conditional-agg pivot; no " +
+          "windows, no SinglePartition, one corpus scan for all four n."),
+      "pipe09_curation_pipeline" ->
+        ("End-to-end curation composition: the c4 verdict is per-row " +
+          "expressions over one documents scan (only the exact-dup window " +
+          "exchanges, on the content hash); the kept set flows into the " +
+          "md5 shuffle assignment's per-shard rank — the whole pipeline " +
+          "is two window exchanges and a join, no collects."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")
