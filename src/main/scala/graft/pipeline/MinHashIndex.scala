@@ -66,10 +66,13 @@ object MinHashIndex {
   def candidatePairs(store: SnapshotStore, idCol: String): DataFrame =
     Dedup.pairsFromBands(store.read(BandsTable), idCol)
 
-  /** Candidate pairs TOUCHING the given delta ids — the per-batch query:
-    * delta bands are re-read from the committed table (one partition-
-    * pruned-sized slice via the semi join) and probed against the whole
-    * index, so cost scales with the delta, not the corpus.
+  /** Candidate pairs TOUCHING the given delta ids — the per-batch query.
+    * The probe side is the committed table semi-joined down to the delta
+    * ids (a full band-table scan feeds that semi join — the scan is
+    * unavoidable without an id-partitioned layout, but everything
+    * DOWNSTREAM of it is delta-sized: the probe-vs-index equi join emits
+    * only buckets a delta doc touches, so the expensive pair expansion
+    * and verification scale with the delta, not the corpus).
     */
   def candidatePairsFor(
       store: SnapshotStore, deltaIds: DataFrame, idCol: String): DataFrame = {
