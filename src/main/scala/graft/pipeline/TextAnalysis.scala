@@ -191,6 +191,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Flesch-style readability score with cross-engine-exact proxies
+    * (true syllable counting is dictionary-bound; curation stacks use
+    * exactly this kind of regex proxy):
+    *   - words      = whitespace tokens (≥1 to guard division),
+    *   - sentences  = runs of `[.!?]` (≥1),
+    *   - syllables  = vowel-group runs `[aeiouy]+` of the lowercased
+    *     text (≥1).
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * rounded to 4. Pure per-row codegen'd expressions, zero shuffles;
+    * the regexes are RE2-subset so the DuckDB twin counts identical
+    * spans (q17/ta01/pipe06 precedent).
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = greatest(size(wsTokens(col(textCol))), lit(1))
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = greatest(
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0))), lit(1))
+    docs.select(
+      col(idCol),
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      round(lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences)
+        - lit(84.6) * (syllables.cast("double") / words), 4).as("flesch"))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     * rolling window of word-hash minima; the fingerprint set is the
     * distinct window minima — robust to local edits.

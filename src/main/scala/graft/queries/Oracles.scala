@@ -548,6 +548,20 @@ object Oracles {
         |FROM tok GROUP BY 1
         |ORDER BY cf DESC, token ASC LIMIT 30""".stripMargin,
 
+    // ta07: the readability proxies verbatim; greatest(,1) guards match
+    // the Spark side, double arithmetic is IEEE-identical, round(…,4).
+    "ta07_readability" ->
+      """SELECT doc_id,
+        |  CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS INT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS INT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1) AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+        |        / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 1)), 4) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "ta01_token_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars_measured,

@@ -269,6 +269,13 @@ object PipelineQueries {
         .orderBy(col("cf").desc, col("token").asc)
     }),
 
+    // Flesch-style readability (regex word/sentence/syllable proxies) —
+    // FULL oracle
+    "ta07_readability" -> ((s, d) => {
+      TextAnalysis.readability(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprint (xxhash64 — rows-only)
     "ta04_fingerprint" -> ((s, d) => {
       TextAnalysis.winnowingFingerprint(docs(s, d), "doc_id", "text")

@@ -469,6 +469,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(("fr", "s2")) == ((1L, 3L, 5L, 0.333333, 0.5)))
   }
 
+  test("readability: hand-computed counts and score; guards on degenerate text") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 vowel groups
+      (2L, "")                            // all guards floor to 1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getInt(3), x.getDouble(4)))).toMap
+    assert(r(1L)._1 == 6 && r(1L)._2 == 2 && r(1L)._3 == 6)
+    val expected1 = BigDecimal(206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L)._4 == expected1)
+    assert(r(2L) == ((1, 1, 1,
+      BigDecimal(206.835 - 1.015 - 84.6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("langId picks the language whose markers dominate") {
     val df = Seq(
       (1L, "le chat est sur la table et le chien est dans les champs"),
