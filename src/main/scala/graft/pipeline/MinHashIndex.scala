@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.store.SnapshotStore
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** COMMITTED MinHash-LSH band index — the incremental-maintenance path
@@ -31,12 +31,26 @@ object MinHashIndex {
 
   val BandsTable = "dd_bands"
 
+  /** doc-id prefix-layout width: 16^2 = 256 partition dirs once
+    * [[compactPrefix]] has run — the seen-table sizing convention
+    * (`SnapshotStore.compact hashPrefix`).
+    */
+  val PrefixLen = 2
+
+  /** THE doc-id → layout-prefix function — one definition shared by the
+    * band rows (layout key) and [[candidatePairsFor]]'s pruned read
+    * (probe key), so the two can never drift.
+    */
+  def pfxCol(id: Column): Column =
+    substring(md5(id.cast("string")), 1, PrefixLen)
+
   private def bandRows(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int): DataFrame =
     Dedup.lshBands(
       Dedup.minhashSignatures(docs, idCol, textCol, shingleK, numHashes),
       idCol, bands, numHashes / bands)
+      .withColumn("pfx", pfxCol(col(idCol)))
 
   /** Full (re)build at snapshot `snap`: the band table overwritten
     * atomically. Only needed once; afterwards [[append]] maintains it.
@@ -66,18 +80,38 @@ object MinHashIndex {
   def candidatePairs(store: SnapshotStore, idCol: String): DataFrame =
     Dedup.pairsFromBands(store.read(BandsTable), idCol)
 
+  /** Periodic maintenance: rewrite the accreted band table into the
+    * doc-id-prefix partition layout (256 dirs at [[PrefixLen]] = 2) so
+    * [[candidatePairsFor]]'s probe-side read prunes to the delta's
+    * prefixes instead of scanning 10^10·bands rows. Appends after a
+    * compaction stay correct — pruned reads always include the
+    * un-partitioned deltas in full (`SnapshotStore.readPrefixPruned`),
+    * exactly the seen-table lifecycle.
+    */
+  def compactPrefix(
+      store: SnapshotStore, snap: Int, idCol: String, buckets: Int = 32): Unit =
+    store.compact(snap, BandsTable,
+      sortCols = Seq("pfx", idCol), buckets = buckets,
+      hashPrefix = Some(("pfx", PrefixLen)))
+
   /** Candidate pairs TOUCHING the given delta ids — the per-batch query.
     * The probe side is the committed table semi-joined down to the delta
-    * ids (a full band-table scan feeds that semi join — the scan is
-    * unavoidable without an id-partitioned layout, but everything
-    * DOWNSTREAM of it is delta-sized: the probe-vs-index equi join emits
-    * only buckets a delta doc touches, so the expensive pair expansion
-    * and verification scale with the delta, not the corpus).
+    * ids; when the table carries the [[compactPrefix]] layout, the scan
+    * feeding that semi join reads ONLY the delta's prefix dirs (plus
+    * post-compaction deltas), so the probe side is delta-sized end to
+    * end. The INDEX side of the equi join still reads the whole table —
+    * that join partner is irreducible without band_hash bucketing — but
+    * it emits only buckets a delta doc touches, so pair expansion and
+    * verification stay delta-sized.
     */
   def candidatePairsFor(
       store: SnapshotStore, deltaIds: DataFrame, idCol: String): DataFrame = {
     val banded = store.read(BandsTable)
-    val probe = banded.join(
+    // delta prefixes: bounded by 16^PrefixLen = 256 strings on the driver
+    val prefixes = deltaIds.select(pfxCol(col(idCol)).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val probeSrc = store.readPrefixPruned(BandsTable, prefixes).getOrElse(banded)
+    val probe = probeSrc.join(
       deltaIds.select(col(idCol).as("did")),
       col(idCol) === col("did"), "left_semi")
     Dedup.pairsTouchingBands(probe, banded, idCol)

@@ -61,6 +61,9 @@ object StreamingDedup {
           val delta = Dedup.lshBands(
             Dedup.minhashSignatures(batch, idCol, textCol, shingleK, numHashes),
             idCol, bands, numHashes / bands)
+            // the MinHashIndex layout key rides along so a streaming-built
+            // table accepts the same compactPrefix maintenance
+            .withColumn("pfx", MinHashIndex.pfxCol(col(idCol)))
           val allBands =
             if (hasPrev) store.read(MinHashIndex.BandsTable).unionByName(delta)
             else delta

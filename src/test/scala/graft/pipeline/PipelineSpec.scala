@@ -196,6 +196,7 @@ class PipelineSpec extends AnyFunSuite {
     // band rows are per-doc independent ⇒ EXACT set equality with one
     // inline pass over the union
     val committed = store.read(MinHashIndex.BandsTable)
+      .select("doc_id", "band", "band_hash")
       .as[(Long, Int, Long)].collect().toSet
     val inline = Dedup.lshBands(
       Dedup.minhashSignatures(nearDupDocs, "doc_id", "text"), "doc_id", 16, 4)
@@ -204,6 +205,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // time travel: snapshot 0 still reads exactly build(A)'s bands
     val at0 = store.readAt(MinHashIndex.BandsTable, 0)
+      .select("doc_id", "band", "band_hash")
       .as[(Long, Int, Long)].collect().toSet
     val inlineA = Dedup.lshBands(
       Dedup.minhashSignatures(a, "doc_id", "text"), "doc_id", 16, 4)
@@ -224,6 +226,29 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(delta == full.filter(p => bIds(p._1) || bIds(p._2)))
     assert(delta.nonEmpty)
+
+    // prefix compaction: the pruned probe-side read must engage AND the
+    // delta/nearDup results must be unchanged; a post-compaction append
+    // (read un-pruned in full) must stay correct too
+    MinHashIndex.compactPrefix(store, 2, "doc_id", buckets = 4)
+    assert(store.readPrefixPruned(MinHashIndex.BandsTable, Seq("00")).isDefined,
+      "prefix layout must be live after compactPrefix")
+    val deltaPruned = MinHashIndex
+      .candidatePairsFor(store, b.select("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(deltaPruned == delta, "pruned probe path changed the pair set")
+    val ndAfter = MinHashIndex.nearDups(store, nearDupDocs, "doc_id", "text", tau = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(ndAfter == inlineNd)
+    val extra = nearDupDocs.filter(col("doc_id") < 2)
+      .select(col("doc_id") + 1000 as "doc_id", col("text"))
+    MinHashIndex.append(store, 3, extra, "doc_id", "text")
+    val deltaExtra = MinHashIndex
+      .candidatePairsFor(store, extra.select("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // each copied doc must pair with its source (identical text)
+    assert(deltaExtra.contains((0L, 1000L)) && deltaExtra.contains((1L, 1001L)),
+      s"post-compaction append missed copy pairs: $deltaExtra")
   }
 
   test("connectedComponents: 64-node path graph collapses to one component") {

@@ -83,6 +83,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     // and the accreted band table equals a full rebuild (index invariant)
     val bands = store.read(graft.pipeline.MinHashIndex.BandsTable)
+      .select("doc_id", "band", "band_hash")
       .as[(Long, Int, Long)].collect().toSet
     val rebuilt = Dedup.lshBands(
       Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id", 16, 4)
