@@ -59,9 +59,10 @@ object PlanDump {
           "broadcasts into the inverted-list equi-join on cluster_id."),
       "pipe01_c4_filter" ->
         ("Curation verdict (round-4): quality + langid composed PER ROW in " +
-          "one projection over the documents scan; the ONLY exchange is the " +
-          "exact-dup window's hash partitioning on the content hash — no " +
-          "join of per-dimension sub-plans."),
+          "one projection over the documents scan; the exact-dup keeper is " +
+          "a partial-aggregated groupBy on the content hash joined back " +
+          "(never a hash window — one doc duplicated 10^9 times must not " +
+          "land in one task), and no per-dimension sub-plan join exists."),
       "pipe04_contamination" ->
         ("Contamination screen (round-4): one exploded shingle scan; the " +
           "distinct eval-shingle side BROADCASTs into the hit join; sizes " +
@@ -74,8 +75,9 @@ object PlanDump {
           "min-aggregate picks one keeper per near-dup neighborhood."),
       "dd09_dup_clusters" ->
         ("Duplicate-cluster consolidation (round-4): the dumped plan is " +
-          "the final labeling join (star-forest edges ⟕ id universe + one " +
-          "count window on component); each preceding large-star/small-star " +
+          "the final labeling join (star-forest edges ⟕ id universe + a " +
+          "grouped size join on component — no per-component window); " +
+          "each preceding large-star/small-star " +
           "phase — already executed when this plan is built, since the CC " +
           "loop is iterative — is one windowed min over the edge list " +
           "partitioned by NODE id, so no component ever gathers in a task."),
@@ -86,10 +88,10 @@ object PlanDump {
           "windows, no SinglePartition, one corpus scan for all four n."),
       "pipe09_curation_pipeline" ->
         ("End-to-end curation composition: the c4 verdict is per-row " +
-          "expressions over one documents scan (only the exact-dup window " +
-          "exchanges, on the content hash); the kept set flows into the " +
-          "md5 shuffle assignment's per-shard rank — the whole pipeline " +
-          "is two window exchanges and a join, no collects."))
+          "expressions over one documents scan plus the grouped exact-dup " +
+          "keeper join on the content hash; the kept set flows into the " +
+          "md5 shuffle assignment's per-shard rank — joins plus one " +
+          "bounded-shard window, no collects."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")

@@ -25,14 +25,18 @@ object Curation {
       minTokens: Int = 5, maxTokens: Int = 5000,
       minQuality: Double = 0.55,
       langs: Seq[String] = Seq("de", "en", "es", "fr")): DataFrame = {
-    val w = Window.partitionBy(col("content_hash"))
     val q = TextAnalysis.qualityStruct(col(textCol))
-    val base = docs
+    // keeper per content hash via partial-agg groupBy + join, NOT a hash
+    // window — one doc duplicated 10^9 times must never land in one task
+    // (same shape as Dedup.exact / dupClusters)
+    val hashed = docs
       .select(col(idCol), col(textCol), q.as("q"),
         TextAnalysis.langPredCol(col(textCol)).as("lang_pred"),
         md5(col(textCol)).as("content_hash"))
-      .withColumn("is_duplicate",
-        col(idCol) =!= min(col(idCol)).over(w))
+    val keepers = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"))
+    val base = hashed.join(keepers, Seq("content_hash"))
+      .withColumn("is_duplicate", col(idCol) =!= col("keeper_id"))
       .select(col(idCol), col("lang_pred"),
         col("q.n_tokens").as("n_tokens"), col("q.quality").as("quality"),
         col("is_duplicate"))

@@ -34,14 +34,21 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup via content hash: per-row group id, group size and the
-    * deterministic keeper (min id) — one shuffle on the 128-bit hash.
+    * deterministic keeper (min id).
+    *
+    * Group stats come from a partial-aggregated groupBy joined back, NOT
+    * a window over the hash: a window partition holds its whole group in
+    * one task, and real crawl corpora contain single documents duplicated
+    * billions of times (parked pages, boilerplate) — the groupBy combines
+    * map-side and the join redistributes by hash, so no task ever holds a
+    * group.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("content_hash"))
-    docs
-      .withColumn("content_hash", md5(col(textCol)))
-      .withColumn("dup_count", count(lit(1)).over(w))
-      .withColumn("keeper_id", min(col(idCol)).over(w))
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    val groups = hashed.groupBy(col("content_hash")).agg(
+      count(lit(1)).as("dup_count"),
+      min(col(idCol)).as("keeper_id"))
+    hashed.join(groups, Seq("content_hash"))
       .withColumn("is_duplicate", col(idCol) =!= col("keeper_id"))
       .select(col(idCol), col("content_hash"), col("dup_count"),
         col("keeper_id"), col("is_duplicate"))
