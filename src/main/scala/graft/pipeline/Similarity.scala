@@ -22,6 +22,28 @@ object Similarity {
 
   def cosine(u: Column, v: Column): Column = dot(u, v) / (norm(u) * norm(v))
 
+  /** Final per-query ranking shared by every ANN path — TWO-PHASE
+    * SALTED top-k (the politeness-scheduler pattern): phase 1 ranks
+    * within `(query_id, pmod(xxhash64(nn_id), S))` so no task ever holds
+    * one query's full candidate set (a brute-force query against a
+    * 10^10 corpus would otherwise funnel 10^10 scored rows into a
+    * single window partition); phase 2 ranks the ≤ S·k survivors.
+    * Result-identical to the single window: every global top-k row is
+    * top-k within its salt bucket, and the (score DESC, nn_id ASC)
+    * ordering is the same in both phases (ann01's exact oracle pins it).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, saltBuckets: Int = 64): DataFrame = {
+    val order = Seq(col("score").desc, col("nn_id").asc)
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("nn_id")), lit(saltBuckets)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * O(|queries| × |corpus|) — correct baseline; queries side should be
     * small and is broadcast. Deterministic: ties broken by neighbor id
@@ -35,12 +57,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
@@ -79,12 +96,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** nBits-bit signature for band `band` — independent plane sets per
@@ -235,14 +247,10 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("cluster_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id").asc)
-    index.join(broadcast(qprobe), Seq("cluster_id"))
+    val scored = index.join(broadcast(qprobe), Seq("cluster_id"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, published recipe):

@@ -79,6 +79,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CollectLimit"))
   }
 
+  test("ANN final ranking is two-phase salted (no full-candidate window partition)") {
+    val p = plan("ann01_topk_bruteforce")
+    assert("row_number".r.findAllIn(p).size >= 2,
+      "expected salted phase-1 + final phase-2 ranking")
+    assert(p.contains("xxhash64"), "phase-1 partition key must carry the salt")
+  }
+
   test("ta05 repetition signals: ONE corpus explode, partial-agg levels") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.pipeline.TextAnalysis.repetitionSignals(docs, "doc_id", "text")
