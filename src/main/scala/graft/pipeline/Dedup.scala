@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale text deduplication operators — exact, MinHash+LSH, SimHash,
@@ -244,14 +243,21 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Per-node neighborhood minima come from partial-aggregated groupBys
+    // joined back, NOT windows over the node id: a 10^9-degree hub's
+    // window partition cannot be split, while the map-side-combined min
+    // is skew-free and AQE splits the skewed join side.
+
     // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
     // Keyed on the symmetrized list so every node sees its full
     // neighborhood; m ≤ u < v keeps the output canonical and loop-free.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
-      val w = Window.partitionBy(col("u"))
-      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
@@ -261,8 +267,8 @@ object Dedup {
     // list keyed by its larger endpoint is exactly that neighborhood);
     // m = min(N ∪ {u}) = min(N); emit (v, m) for v ∈ N \ {m} plus (u, m).
     def smallStar(e: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("hi"))
-      val withM = e.withColumn("m", min(col("lo")).over(w))
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = e.join(mins, Seq("hi"))
       withM.filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionAll(withM.select(col("hi"), col("m").as("lo")))
