@@ -79,7 +79,8 @@ object PlanDump {
           "grouped size join on component — no per-component window); " +
           "each preceding large-star/small-star " +
           "phase — already executed when this plan is built, since the CC " +
-          "loop is iterative — is one windowed min over the edge list " +
+          "loop is iterative — computes per-node neighborhood minima as a " +
+          "partial-aggregated groupBy joined back to the edge list, " +
           "partitioned by NODE id, so no component ever gathers in a task."),
       "ta05_repetition" ->
         ("Gopher repetition signals: ONE tagged gram explode (single " +

@@ -208,8 +208,11 @@ object Dedup {
     * component can be arbitrarily large, so nothing per-component may
     * ever sit in one task's memory:
     *
-    *   - each phase is ONE windowed `min` over the edge list plus a
-    *     filter — shuffles partition by node id, never by component;
+    *   - each phase computes per-node neighborhood minima as a
+    *     partial-aggregated `groupBy` joined back to the edge list
+    *     (map-side-combined, AQE-splittable — no window ever holds a
+    *     node's full neighborhood) — shuffles partition by node id,
+    *     never by component;
     *   - the driver sees only a 2-scalar convergence signature per
     *     phase pair (count + hash-sum), never row data;
     *   - the paper proves O(log² n) phases to the star-forest

@@ -27,13 +27,35 @@ import java.nio.file.{Files, Paths}
   * inline [[Dedup.minhashNearDups]] over the full corpus EXACTLY
   * (StreamingSpec pins set equality). Source progress is checkpointed:
   * a killed stream restarted on the same workDir re-processes only
-  * unseen files, and the store's atomic snapshot commit makes the
-  * append idempotent-per-batch (the crawl loop's exactly-once recipe).
+  * unseen files.
+  *
+  * Exactly-once across crashes: `foreachBatch` is AT-LEAST-once — a
+  * crash between `store.commit` and the streaming commit-log write
+  * re-delivers the batch on restart with the SAME `batchId`. Each
+  * snapshot commit therefore records the batchId as a manifest tag
+  * (scoped to this checkpoint's batch-id sequence), and a re-delivered
+  * batch whose id is ≤ the committed high-water mark is skipped — the
+  * standard foreachBatch idempotence recipe (StreamingSpec simulates
+  * the crash by deleting the checkpoint's last commit-log entry and
+  * asserts the replay appends nothing).
   */
 object StreamingDedup {
 
   val DocsTable = "dd_docs"
   val PairsTable = "dd_pairs"
+
+  /** Manifest tag carrying `<checkpoint-key>:<last committed batchId>`.
+    * The checkpoint key scopes the monotone-batchId assumption: a fresh
+    * checkpoint restarts ids at 0, so its batches must not be skipped
+    * against an older sequence's high-water mark.
+    */
+  val IngestBatchTag = "dd_ingest_batch"
+
+  private def ckptKeyOf(path: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    d.take(4).map(b => f"$b%02x").mkString
+  }
 
   /** Drain all parquet files under `docsDir` as micro-batches into
     * `store`; returns the number of non-empty batches processed.
@@ -48,14 +70,23 @@ object StreamingDedup {
       Files.createTempDirectory("dedup-stream").toString))
     Files.createDirectories(base)
     var processed = 0
+    val ckptDir = base.resolve("checkpoint").toString
+    val ckptKey = ckptKeyOf(ckptDir)
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // replay guard (see object scaladoc): skip batches whose id is
+        // already under the committed high-water mark of THIS checkpoint
+        val replayed = store.latestTag(IngestBatchTag).exists { v =>
+          val sep = v.indexOf(':')
+          sep > 0 && v.substring(0, sep) == ckptKey &&
+            v.substring(sep + 1).toLong >= batchId
+        }
         val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
-        if (batch.count() > 0) {
+        if (!replayed && batch.count() > 0) {
           val snap = store.latestSnapshot.map(_ + 1).getOrElse(0)
           val hasPrev = store.latestSnapshot.isDefined
           val delta = Dedup.lshBands(
@@ -80,12 +111,13 @@ object StreamingDedup {
             append = Map(
               DocsTable -> batch,
               MinHashIndex.BandsTable -> delta,
-              PairsTable -> pairs))
+              PairsTable -> pairs),
+            tags = Map(IngestBatchTag -> s"$ckptKey:$batchId"))
           processed += 1
         }
         ()
       }
-      .option("checkpointLocation", base.resolve("checkpoint").toString)
+      .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -50,6 +50,10 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     * `_pfxlen:t -> [srcCol, len]` (partition dirs `_pfx=<prefix>`). */
   private val PrefixKey = "_pfxlen:"
   private val PrefixCol = "_pfx"
+  /** small string tags riding the manifest, carried forward by later
+    * commits until overwritten — e.g. a streaming ingest's committed
+    * batch-id high-water mark (the foreachBatch idempotence recipe). */
+  private val TagKey = "_tag:"
 
   def latestSnapshot: Option[Int] =
     if (Files.exists(latestPath)) Some(Files.readString(latestPath).trim.toInt) else None
@@ -132,8 +136,18 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
   def commit(
       snap: Int,
       overwrite: Map[String, DataFrame],
-      append: Map[String, DataFrame]): Unit =
-    commitManifest(snap, writeData(snap, overwrite, append))
+      append: Map[String, DataFrame],
+      tags: Map[String, String] = Map.empty): Unit =
+    commitManifest(snap, writeData(snap, overwrite, append) ++
+      tags.map { case (k, v) => (TagKey + k, Seq(v)) })
+
+  /** Tag value in the LATEST snapshot (None before any tagged commit).
+    * Tags carry forward: `writeData` seeds entries from the previous
+    * manifest, so a tag persists until a later commit overwrites it.
+    */
+  def latestTag(key: String): Option[String] =
+    latestSnapshot.flatMap(s => readManifest(s).get(TagKey + key))
+      .flatMap(_.headOption)
 
   def read(table: String): DataFrame =
     readAt(table, latestSnapshot.getOrElse(
@@ -219,7 +233,8 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
 
   def tablesAt(snap: Int): Set[String] =
     readManifest(snap).keySet
-      .filterNot(k => k.startsWith(SchemaKey) || k.startsWith(PrefixKey))
+      .filterNot(k =>
+        k.startsWith(SchemaKey) || k.startsWith(PrefixKey) || k.startsWith(TagKey))
 
   /** Bin-pack an append table's deltas into one directory sorted by
     * `sortCols` (keeps the 10^10-row `seen` anti-join input clustered by

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends AnyFunSuite {
 
@@ -89,6 +90,31 @@ class StreamingSpec extends AnyFunSuite {
       Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id", 16, 4)
       .as[(Long, Int, Long)].collect().toSet
     assert(bands == rebuilt)
+
+    // crash-replay (foreachBatch is at-least-once): simulate a crash
+    // BETWEEN store.commit and the streaming commit-log write by deleting
+    // the checkpoint's last commit entry — restart re-delivers that batch
+    // with the same batchId, and the manifest-tag high-water mark must
+    // make the replay a no-op (no duplicate dd_docs/dd_bands/dd_pairs)
+    val docsBefore = store.read(StreamingDedup.DocsTable).count()
+    val bandsBefore = store.read(graft.pipeline.MinHashIndex.BandsTable).count()
+    val commitsDir = java.nio.file.Paths.get(work, "checkpoint", "commits")
+    val lastCommit = Files.list(commitsDir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(lastCommit)
+    // the local checksum FS keeps a hidden .N.crc sibling — remove it too
+    // or the replayed commit-log write fails its rename
+    Files.deleteIfExists(
+      lastCommit.resolveSibling("." + lastCommit.getFileName.toString + ".crc"))
+    val n3 = StreamingDedup.run(store, docsDir + "/*", docs.schema,
+      "doc_id", "text", workDir = Some(work))
+    assert(n3 == 0, "replayed batch must be skipped by the batch-id tag")
+    assert(store.read(StreamingDedup.DocsTable).count() == docsBefore)
+    assert(store.read(graft.pipeline.MinHashIndex.BandsTable).count() == bandsBefore)
+    val replayedPairs = store.read(StreamingDedup.PairsTable)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(replayedPairs == inline, "pairs unchanged after replay")
   }
 
   test("flatMapGroupsWithState sessionization emits per-user sessions on timeout") {
