@@ -101,57 +101,95 @@ object Bench {
     }
 
     // ---- crawl frontier throughput: schedule+dedup URLs/sec over a
-    // synthetic frontier (the BASELINE.json headline metric)
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
-    val cfg = CrawlConfig(
-      maxDepth = 4, maxPagesPerDomain = 50, roundWindowSec = benchWindow,
-      defaultCrawlDelaySec = 10.0, recrawlIntervalRounds = 1000,
-      saltBuckets = 16, bloomExpectedItems = 10000000L,
-      compactEveryRounds = 1000)
-    val store = new SnapshotStore(dir, spark)
-    val loop = new CrawlLoop(store, cfg)
+    // synthetic frontier (the BASELINE.json headline metric).
+    //
+    // WINDOW-ROBUSTNESS (round-5 protocol): the box is shared, and a
+    // co-tenant saturating the memory bus inflates wall 2-5x for identical
+    // output (BENCH/BASELINE.md round-4 record). Noise only ever SLOWS a
+    // run, so the build's property is the FASTEST rep, not the average.
+    // The crawl section therefore runs GRAFT_BENCH_REPS (default 2) times
+    // from a fresh store each time, with the fixed q01 canary timed before
+    // the first rep and after every rep; the JSON carries every per-rep
+    // wall / process-CPU / throughput plus the canary series, and the
+    // headline urls_per_sec is cited from the minimum-wall rep.
+    // canary_sec (the min canary) calibrates the window: q01 at sf0.1 is
+    // 0.42-0.58 s on a quiet box (BENCH/BASELINE.md) — a canary far above
+    // that marks the whole invocation as a degraded window.
     import spark.implicits._
     val corpus = SyntheticCorpus.docsDF(spark, benchHosts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    corpus.count() // materialize outside the timed section
+    corpus.count() // materialize outside the timed sections
     val seeds = (0L until benchHosts by 7L).map(i => SyntheticCorpus.urlOf(i, 0))
     val robots = SyntheticCorpus.robotsLocal(math.min(benchHosts, 100000L).toInt).toDS()
-    loop.init(seeds, robots)
     val deaths = SyntheticCorpus.hostDeathsLocal(math.min(benchHosts, 100000L).toInt)
       .toDF("host", "dead_from_round")
-    def processedSoFar(): Long = {
-      val m = store.read("metrics")
-        .selectExpr("sum(scheduled) AS s", "sum(deduped) AS d").collect()(0)
-      (if (m.isNullAt(0)) 0L else m.getLong(0)) +
-        (if (m.isNullAt(1)) 0L else m.getLong(1))
-    }
     // warm-up rounds run the once-per-run setup (corpus live-host set,
     // robots gate prep, bloom sidecar) untimed, so the measured number is
     // the STEADY-STATE round throughput — the regime the 10^10 frontier
     // lives in. GRAFT_BENCH_WARM_ROUNDS=0 restores the cold measurement.
     val warmRounds = sys.env.getOrElse("GRAFT_BENCH_WARM_ROUNDS", "1").toInt
-    if (warmRounds > 0) loop.run(corpus, deaths, warmRounds)
-    val processedBefore = processedSoFar()
-    // process CPU across the timed section: utilization = cpu/wall/cores
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+    // process CPU across a timed section: utilization = cpu/wall/cores
     // distinguishes idle-threads (barriers) from work inflation when
     // reading the scaling ladder
     def procCpuSec(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
         .getProcessCpuTime / 1e9
-    val cpuBefore = procCpuSec()
-    val crawlSec = time {
-      loop.run(corpus, deaths, benchRounds)
+    def canary(): Double =
+      time(SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count())
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val crawlCpuSec = procCpuSec() - cpuBefore
-    val processed = processedSoFar() - processedBefore
-    val urlsPerSec = processed / crawlSec
+    case class Rep(seconds: Double, cpuSec: Double, processed: Long, canarySec: Double) {
+      def urlsPerSec: Double = processed / seconds
+    }
+    val canary0 = canary()
+    val repResults = (1 to reps).map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-crawl")
+      val cfg = CrawlConfig(
+        maxDepth = 4, maxPagesPerDomain = 50, roundWindowSec = benchWindow,
+        defaultCrawlDelaySec = 10.0, recrawlIntervalRounds = 1000,
+        saltBuckets = 16, bloomExpectedItems = 10000000L,
+        compactEveryRounds = 1000)
+      val store = new SnapshotStore(dir.toString, spark)
+      val loop = new CrawlLoop(store, cfg)
+      loop.init(seeds, robots)
+      def processedSoFar(): Long = {
+        val m = store.read("metrics")
+          .selectExpr("sum(scheduled) AS s", "sum(deduped) AS d").collect()(0)
+        (if (m.isNullAt(0)) 0L else m.getLong(0)) +
+          (if (m.isNullAt(1)) 0L else m.getLong(1))
+      }
+      if (warmRounds > 0) loop.run(corpus, deaths, warmRounds)
+      val processedBefore = processedSoFar()
+      val cpuBefore = procCpuSec()
+      val sec = time(loop.run(corpus, deaths, benchRounds))
+      val cpu = procCpuSec() - cpuBefore
+      val processed = processedSoFar() - processedBefore
+      // leftover bench dirs are GBs of page-cache pollution for the next
+      // rep (verify-skill gotcha) — delete eagerly
+      deleteRec(dir)
+      Rep(sec, cpu, processed, canary())
+    }
+    val best = repResults.minBy(_.seconds) // fastest rep = build property
+    val crawlSec = best.seconds
+    val processed = best.processed
+    val urlsPerSec = best.urlsPerSec
+    val canaries = canary0 +: repResults.map(_.canarySec)
 
     val total = qtimes.map(_._2).filter(_ >= 0).sum + crawlSec
     val qJson = (qtimes :+ ("crawl_frontier" -> crawlSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val repsJson = repResults.map(r =>
+      s"""{"seconds":${f"${r.seconds}%.3f"},"cpu_seconds":${f"${r.cpuSec}%.1f"},""" +
+        s""""urls_per_sec":${f"${r.urlsPerSec}%.1f"},"canary_sec":${f"${r.canarySec}%.3f"}}""")
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"},"cpu_seconds":${f"$crawlCpuSec%.1f"},"cpu_util":${f"${crawlCpuSec / crawlSec / cpus.toDouble}%.2f"}}}"""
+      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"},"urls_per_sec_min":${f"${repResults.map(_.urlsPerSec).min}%.1f"},"cpu_seconds":${f"${best.cpuSec}%.1f"},"cpu_seconds_min":${f"${repResults.map(_.cpuSec).min}%.1f"},"cpu_util":${f"${best.cpuSec / crawlSec / cpus.toDouble}%.2f"},"reps":$repsJson,"canary_sec":${f"${canaries.min}%.3f"},"canary_runs":${canaries.map(c => f"$c%.3f").mkString("[", ",", "]")},"headline_rule":"urls_per_sec is the minimum-wall rep (co-tenant noise only slows runs; canary_sec calibrates the window, quiet-box q01 at sf0.1 = 0.42-0.58s)"}}"""
     println(json)
     // also persist the line: sbt wraps stdout in [info]/[error] noise and
     // the harness's stdout parse has been lost to it before
