@@ -54,9 +54,14 @@ object PlanDump {
           "TakeOrderedAndProject."),
       "ann04_ivf_committed" ->
         ("IVF probe over the COMMITTED ann_centroids/ann_index snapshot " +
-          "tables (round-4): the index is a parquet scan, not a per-call " +
-          "k-means rebuild; qprobe (queries × broadcast centroids, top-nProbe) " +
-          "broadcasts into the inverted-list equi-join on cluster_id."),
+          "tables: the index is a parquet scan, not a per-call k-means " +
+          "rebuild, and after IvfIndex.compact (round 5) the scan's file " +
+          "list covers ONLY the probed _pfx=<cluster_id> partition dirs — " +
+          "the probed ids are computed driver-side first (≤ nClusters) and " +
+          "pushed into the read, so the 10^10-row index is never rescanned " +
+          "per query batch; qprobe (queries × broadcast centroids, " +
+          "top-nProbe) broadcasts into the inverted-list equi-join on " +
+          "cluster_id."),
       "pipe01_c4_filter" ->
         ("Curation verdict (round-4): quality + langid composed PER ROW in " +
           "one projection over the documents scan; the exact-dup keeper is " +

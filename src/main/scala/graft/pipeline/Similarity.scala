@@ -230,28 +230,49 @@ object Similarity {
         first(col(vecCol)).as("nn_vec"))
       .select(col(idCol).as("nn_id"), col("nn_vec"), col("cluster_id"))
 
+  /** Query-side half of an IVF probe: each query joined to its `nProbe`
+    * max-cosine centroids — `(query_id, q_vec, cluster_id)`. Factored
+    * out of [[probeIndex]] so a committed-index caller
+    * ([[IvfIndex.probe]]) can learn WHICH clusters a query batch touches
+    * BEFORE deciding how much of the index to read (the probed cluster
+    * ids are ≤ nClusters distinct values — always driver-small, since
+    * the centroid table itself is).
+    */
+  def probeAssignments(
+      centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cluster_id").asc)
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("psim", round(cosine(col("q_vec"), col("cvec")), 9))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cluster_id"))
+  }
+
+  /** Index-side half: score the probed lists, rank top-k. `index` may be
+    * any superset of the probed clusters' rows (the equi join discards
+    * the rest) — which is what lets [[IvfIndex.probe]] substitute a
+    * cluster-pruned read without changing results.
+    */
+  def scoreProbed(index: DataFrame, qprobe: DataFrame, k: Int): DataFrame = {
+    val scored = index.join(broadcast(qprobe), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** nProbe-list search over prebuilt inverted lists + centroids —
     * the query-time half of IVF, shared by [[ivfTopK]] (fresh index) and
     * [[IvfIndex.probe]] (committed index).
     */
   def probeIndex(
       index: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cdf = broadcast(centroids)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("psim").desc, col("cluster_id").asc)
-    val qprobe = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(cdf)
-      .withColumn("psim", round(cosine(col("q_vec"), col("cvec")), 9))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("cluster_id"))
-    val scored = index.join(broadcast(qprobe), Seq("cluster_id"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
-    topKPerQuery(scored, k)
-  }
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    scoreProbed(index,
+      probeAssignments(centroids, queries, idCol, vecCol, nProbe), k)
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, published recipe):
     * cluster embeddings with the deterministic k-means quantizer, then

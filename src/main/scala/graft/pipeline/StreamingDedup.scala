@@ -89,14 +89,18 @@ object StreamingDedup {
         if (!replayed && batch.count() > 0) {
           val snap = store.latestSnapshot.map(_ + 1).getOrElse(0)
           val hasPrev = store.latestSnapshot.isDefined
-          val delta = Dedup.lshBands(
-            Dedup.minhashSignatures(batch, idCol, textCol, shingleK, numHashes),
-            idCol, bands, numHashes / bands)
-            // the MinHashIndex layout key rides along so a streaming-built
-            // table accepts the same compactPrefix maintenance
-            .withColumn("pfx", MinHashIndex.pfxCol(col(idCol)))
+          // both MinHashIndex layout keys ride along so a streaming-built
+          // table accepts the same compactPrefix maintenance
+          val delta = MinHashIndex.bandRows(
+            batch, idCol, textCol, shingleK, numHashes, bands)
+            .localCheckpoint()
+          // index side of the cross-batch join: only the band-hash
+          // buckets this delta touches (bucket-layout mirror), plus the
+          // delta itself for intra-batch pairs — the full committed band
+          // table is never rescanned once compactPrefix has run
           val allBands =
-            if (hasPrev) store.read(MinHashIndex.BandsTable).unionByName(delta)
+            if (hasPrev)
+              MinHashIndex.bucketPrunedIndex(store, delta).unionByName(delta)
             else delta
           val allDocs =
             if (hasPrev) store.read(DocsTable).unionByName(batch) else batch
@@ -111,6 +115,7 @@ object StreamingDedup {
             append = Map(
               DocsTable -> batch,
               MinHashIndex.BandsTable -> delta,
+              MinHashIndex.BandsByBucketTable -> delta,
               PairsTable -> pairs),
             tags = Map(IngestBatchTag -> s"$ckptKey:$batchId"))
           processed += 1

@@ -116,6 +116,10 @@ object PipelineQueries {
       val store = new graft.store.SnapshotStore(
         java.nio.file.Files.createTempDirectory("ann-index").toString, s)
       graft.pipeline.IvfIndex.build(store, 0, e, "vec_id", "embedding", nClusters = 8)
+      // cluster-partitioned compaction so the probe takes the PRUNED
+      // read path (only the probed _pfx=<cluster_id> dirs are scanned —
+      // pruned ≡ unpruned, PipelineSpec pins it)
+      graft.pipeline.IvfIndex.compact(store, 1, buckets = 4)
       graft.pipeline.IvfIndex.probe(store, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))

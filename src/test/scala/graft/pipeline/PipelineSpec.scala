@@ -164,6 +164,37 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.assignToCentroids(e, centsA, "vec_id", "embedding"), centsA,
       q, "vec_id", "embedding", k = 5, nProbe = 2))
     assert(gotProbe == wantProbe)
+
+    // cluster-partitioned compaction: the probe read must engage the
+    // pruned path AND results must be unchanged
+    IvfIndex.compact(store2, 2, buckets = 4)
+    assert(store2.prefixInfo(IvfIndex.IndexTable)
+      .contains(("cluster_id", IvfIndex.ClusterKeyLen)),
+      "cluster layout must be live after compact")
+    val prunedProbe = rows(IvfIndex.probe(store2, q, "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(prunedProbe == gotProbe, "cluster-pruned probe changed results")
+    // ...and the read really prunes: a single query probes ≤2 of the 8
+    // clusters, so its pruned read covers strictly fewer rows than the
+    // full index
+    val q1 = e.filter(col("vec_id") === 0)
+    val probedIds = Similarity
+      .probeAssignments(centsA, q1, "vec_id", "embedding", nProbe = 2)
+      .select("cluster_id").distinct().as[Int].collect().map(_.toString).toSeq
+    val prunedRows = store2.readPrefixPruned(IvfIndex.IndexTable, probedIds).get.count()
+    assert(prunedRows < store2.read(IvfIndex.IndexTable).count(),
+      s"pruned read ($prunedRows rows) did not reduce the scan")
+
+    // post-compaction append: deltas are read un-pruned in full, so the
+    // probe must still equal the inline twin over the union
+    val extra = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    IvfIndex.append(store2, 3, extra, "vec_id", "embedding")
+    val gotProbe2 = rows(IvfIndex.probe(store2, q, "vec_id", "embedding", k = 5, nProbe = 2))
+    val wantProbe2 = rows(Similarity.probeIndex(
+      Similarity.assignToCentroids(
+        e.select("vec_id", "embedding").unionByName(extra), centsA, "vec_id", "embedding"),
+      centsA, q, "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(gotProbe2 == wantProbe2, "post-compaction append broke the pruned probe")
   }
 
   test("semDeDup: one keeper per duplicate vector group, dup_of points at the min id") {
@@ -203,6 +234,12 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSet
     assert(committed == inline)
 
+    // the band-hash-bucketed mirror carries the SAME rows (dual append)
+    val mirrored = store.read(MinHashIndex.BandsByBucketTable)
+      .select("doc_id", "band", "band_hash")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(mirrored == committed, "bucket-layout mirror drifted from dd_bands")
+
     // time travel: snapshot 0 still reads exactly build(A)'s bands
     val at0 = store.readAt(MinHashIndex.BandsTable, 0)
       .select("doc_id", "band", "band_hash")
@@ -233,16 +270,26 @@ class PipelineSpec extends AnyFunSuite {
     MinHashIndex.compactPrefix(store, 2, "doc_id", buckets = 4)
     assert(store.readPrefixPruned(MinHashIndex.BandsTable, Seq("00")).isDefined,
       "prefix layout must be live after compactPrefix")
+    assert(store.prefixInfo(MinHashIndex.BandsByBucketTable)
+      .contains(("bpfx", MinHashIndex.PrefixLen)),
+      "bucket layout must be live on the mirror after compactPrefix")
     val deltaPruned = MinHashIndex
       .candidatePairsFor(store, b.select("doc_id"), "doc_id")
       .as[(Long, Long)].collect().toSet
     assert(deltaPruned == delta, "pruned probe path changed the pair set")
+    // index-side pruning really reduces the scan: a ONE-row probe
+    // touches 1 of the 256 band-hash buckets, so its bucket-pruned index
+    // read covers strictly fewer rows than the full band table
+    val oneBand = store.read(MinHashIndex.BandsTable).limit(1).localCheckpoint()
+    assert(MinHashIndex.bucketPrunedIndex(store, oneBand).count() <
+      store.read(MinHashIndex.BandsTable).count(),
+      "bucket-pruned index read did not reduce the scan")
     val ndAfter = MinHashIndex.nearDups(store, nearDupDocs, "doc_id", "text", tau = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(ndAfter == inlineNd)
     val extra = nearDupDocs.filter(col("doc_id") < 2)
       .select(col("doc_id") + 1000 as "doc_id", col("text"))
-    MinHashIndex.append(store, 3, extra, "doc_id", "text")
+    MinHashIndex.append(store, 4, extra, "doc_id", "text")
     val deltaExtra = MinHashIndex
       .candidatePairsFor(store, extra.select("doc_id"), "doc_id")
       .as[(Long, Long)].collect().toSet
