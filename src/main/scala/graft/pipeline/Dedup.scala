@@ -56,16 +56,19 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signatures: numHashes permutations approximated by seeded
-    * xxhash64 over each shingle; signature[j] = min_j. Single exploded
-    * pass, `numHashes` partial-agg mins.
+    * hashes over each shingle; signature[j] = min_j. Single exploded
+    * pass, `numHashes` partial-agg mins. The hash family is injectable
+    * ([[HashFamily]]): xxhash64 in production, seeded-md5 when an
+    * external oracle must recompute the signatures value-for-value.
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 64,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
     val mins = (0 until numHashes).map(j =>
-      min(xxhash64(col("sh"), lit(j))).as(s"h$j"))
+      min(family.hash(col("sh"), j)).as(s"h$j"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("minhash"))
@@ -78,14 +81,15 @@ object Dedup {
     */
   def lshBands(
       signatures: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
+      bands: Int, rowsPerBand: Int,
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
     signatures.select(
       col(idCol),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(
+        b => family.hash(array_join(
           transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), ",")))).as(Seq("band", "band_hash")))
+            x => x.cast("string")), ","), b))).as(Seq("band", "band_hash")))
 
   /** All candidate pairs of one band table — self-join with the strict
     * `id_a < id_b` condition, which halves the pre-distinct row volume
@@ -126,8 +130,9 @@ object Dedup {
     */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
-    pairsFromBands(lshBands(signatures, idCol, bands, rowsPerBand), idCol)
+      bands: Int, rowsPerBand: Int,
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
+    pairsFromBands(lshBands(signatures, idCol, bands, rowsPerBand, family), idCol)
 
   /** Exact Jaccard over distinct k-shingles for given candidate pairs:
     * |A∩B| by equi-join on shingle, sizes joined back — set algebra as
@@ -167,9 +172,10 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      tau: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
-    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+      tau: Double = 0.5,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes, family)
+    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands, family)
     exactJaccard(docs, cands, idCol, textCol, shingleK)
       .filter(col("jaccard") >= tau)
   }

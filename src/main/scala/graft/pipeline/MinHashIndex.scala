@@ -71,10 +71,11 @@ object MinHashIndex {
     */
   def bandRows(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+      shingleK: Int, numHashes: Int, bands: Int,
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
     Dedup.lshBands(
-      Dedup.minhashSignatures(docs, idCol, textCol, shingleK, numHashes),
-      idCol, bands, numHashes / bands)
+      Dedup.minhashSignatures(docs, idCol, textCol, shingleK, numHashes, family),
+      idCol, bands, numHashes / bands, family)
       .withColumn("pfx", pfxCol(col(idCol)))
       .withColumn("bpfx", bhPfxCol(col("band"), col("band_hash")))
 
@@ -86,8 +87,9 @@ object MinHashIndex {
   def build(
       store: SnapshotStore, snap: Int, docs: DataFrame,
       idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
-    val rows = bandRows(docs, idCol, textCol, shingleK, numHashes, bands)
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      family: HashFamily = HashFamily.XxHash64): Unit = {
+    val rows = bandRows(docs, idCol, textCol, shingleK, numHashes, bands, family)
     store.commit(snap,
       overwrite = Map(BandsTable -> rows, BandsByBucketTable -> rows),
       append = Map.empty)
@@ -100,8 +102,9 @@ object MinHashIndex {
   def append(
       store: SnapshotStore, snap: Int, newDocs: DataFrame,
       idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
-    val rows = bandRows(newDocs, idCol, textCol, shingleK, numHashes, bands)
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      family: HashFamily = HashFamily.XxHash64): Unit = {
+    val rows = bandRows(newDocs, idCol, textCol, shingleK, numHashes, bands, family)
     store.commit(snap,
       overwrite = Map.empty,
       append = Map(BandsTable -> rows, BandsByBucketTable -> rows))

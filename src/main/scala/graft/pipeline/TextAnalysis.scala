@@ -221,20 +221,30 @@ object TextAnalysis {
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     * rolling window of word-hash minima; the fingerprint set is the
-    * distinct window minima — robust to local edits.
+    * distinct window minima — robust to local edits. The word hash is
+    * an injectable [[HashFamily]] (seed 0 for word hashes, seed 1 for
+    * the whole-fingerprint digest `fp_hash`): xxhash64 in production,
+    * seeded-md5 when an external oracle recomputes the fingerprints
+    * (CORRECTNESS ta04). Empty docs get an empty fingerprint (and the
+    * digest of the empty join), not a null-bearing one.
     */
   def winnowingFingerprint(
       docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 4): DataFrame = {
+      window: Int = 4,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val toks = wsTokens(col(textCol))
-    val hashes = transform(toks, t => pmod(xxhash64(t), lit(1000000007L)))
+    val hashes = transform(toks, t => family.hash(t, 0))
     val nWin = greatest(size(hashes) - window + 1, lit(1))
-    val mins = transform(sequence(lit(0), nWin - 1),
-      i => array_min(slice(hashes, i + 1, lit(window))))
+    // empty branch reuses `hashes` (already empty) so the when/otherwise
+    // types agree for ANY family value type
+    val mins = when(size(hashes) === 0, hashes)
+      .otherwise(transform(sequence(lit(0), nWin - 1),
+        i => array_min(slice(hashes, i + 1, lit(window)))))
+    val fp = array_sort(array_distinct(mins))
     docs.select(
       col(idCol),
-      array_sort(array_distinct(mins)).as("fingerprint"),
-      xxhash64(array_join(transform(array_sort(array_distinct(mins)),
-        x => x.cast("string")), ",")).as("fingerprint64"))
+      fp.as("fingerprint"),
+      family.hash(array_join(transform(fp, x => x.cast("string")), ","), 1)
+        .as("fp_hash"))
   }
 }

@@ -66,7 +66,145 @@ object Oracles {
   }
 
 
+  /** The full MinHash → LSH-bands → candidate-join → exact-Jaccard
+    * pipeline under the Md5Hex hash family (HashFamily.Md5Hex:
+    * `md5(seed || ':' || value)` — recomputable in any engine), twinning
+    * Dedup.minhashNearDups(tau = 0.3) value-for-value: the dd05
+    * tokenizer/shingler CTEs, 64 signature mins, 16 band hashes over
+    * 4-wide signature slices, distinct candidate pairs, exact Jaccard on
+    * candidates. Shared VERBATIM by dd03 (inline pipeline) and dd10
+    * (committed band index) — band rows are per-doc independent, so
+    * build+append over the whole corpus produces exactly the inline
+    * bands, and one oracle hard-proves both plus committed ≡ inline.
+    */
+  private val MinHashLshCtes: String = {
+    val numHashes = 64
+    val bands = 16
+    val rpb = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(j => s"min(md5('$j:' || s)) AS h$j")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val joined = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5('$b:' || $joined) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\W+'), t -> t <> '') AS tk
+       |  FROM documents
+       |), shl AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+       |    END) AS shingles
+       |  FROM toks
+       |), e AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM shl
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM e GROUP BY doc_id
+       |), bd AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bd a JOIN bd b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM e GROUP BY 1
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN e ea ON ea.doc_id = c.id_a
+       |  JOIN e eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+       |  GROUP BY 1, 2
+       |), vpairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jac
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |)""".stripMargin
+  }
+
+  private val MinHashLshPairsSql: String =
+    s"""WITH $MinHashLshCtes
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard
+       |FROM vpairs WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, String] = Map(
+    // dd02: Md5Hex MinHash signature prefix — first 4 of the 64
+    // signature mins (Spark computes 64 then slices; min-of-seed-j is
+    // independent per j, so computing just the 4 output slots is
+    // identical), joined with ',' exactly like the Spark side.
+    "dd02_minhash_signature" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), shl AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM toks
+        |), e AS (SELECT doc_id, unnest(shingles) AS s FROM shl)
+        |SELECT doc_id,
+        |  min(md5('0:' || s)) || ',' || min(md5('1:' || s)) || ',' ||
+        |  min(md5('2:' || s)) || ',' || min(md5('3:' || s)) AS sig_prefix
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd03_minhash_lsh_pairs" -> MinHashLshPairsSql,
+
+    // dd10 = dd03's SQL verbatim: the committed index's nearDups over
+    // build(⅔)+append(⅓) is row-identical to the inline pipeline (band
+    // rows are per-doc independent), so the same oracle pins BOTH the
+    // pipeline values and the committed ≡ inline contract.
+    "dd10_minhash_committed" -> MinHashLshPairsSql,
+
+    // dd11: the end-to-end composition — the Md5Hex pair CTEs verbatim
+    // (tau 0.3, same as dd03), then dd09's recursive-CTE transitive
+    // closure over every document id; component = min reachable id,
+    // singletons label themselves.
+    "dd11_text_dup_clusters" ->
+      s"""WITH RECURSIVE $MinHashLshCtes,
+         |p AS (SELECT id_a, id_b FROM vpairs WHERE jac >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.id, ed.dst AS r FROM reach JOIN edges ed ON ed.src = reach.r),
+         |lbl AS (
+         |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS cluster_size,
+         |  doc_id = component AS is_keeper
+         |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // ta04: Md5Hex winnowing — word hashes md5('0:'||token), window-4
+    // minima, digest md5('1:'||join of the sorted distinct minima).
+    "ta04_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_transform(tk, t -> md5('0:' || t)) AS hs FROM toks
+        |), m AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN hs
+        |    ELSE list_transform(range(greatest(len(hs) - 3, 1)),
+        |      i -> list_min(hs[i+1:i+4])) END AS mins
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  md5('1:' || array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_hash
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

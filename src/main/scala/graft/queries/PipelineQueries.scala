@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Curation, Dedup, MinHashIndex, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, HashFamily, MinHashIndex, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,20 +24,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash signature prefix (deterministic; xxhash64 — rows-only).
-    // Emitted as a comma-joined STRING: the driver's comparator hashes
-    // column values and cannot hash raw arrays.
+    // MinHash signature prefix — FULL oracle via the injectable
+    // Md5Hex hash family (seeded md5, DuckDB-recomputable; production
+    // default stays xxhash64 — PipelineSpec pins both families share
+    // pipeline structure). Emitted as a comma-joined STRING: the
+    // driver's comparator hashes column values and cannot hash arrays.
     "dd02_minhash_signature" -> ((s, d) => {
-      Dedup.minhashSignatures(docs(s, d), "doc_id", "text")
+      Dedup.minhashSignatures(docs(s, d), "doc_id", "text",
+          family = HashFamily.Md5Hex)
         .select(col("doc_id"),
           array_join(transform(slice(col("minhash"), 1, 4),
             x => x.cast("string")), ",").as("sig_prefix"))
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash+LSH near-dup pairs w/ exact-Jaccard verification (rows-only)
+    // MinHash+LSH near-dup pairs w/ exact-Jaccard verification — FULL
+    // oracle (Md5Hex family: DuckDB twins signatures → bands →
+    // candidate join → exact Jaccard value-for-value)
     "dd03_minhash_lsh_pairs" -> ((s, d) => {
-      Dedup.minhashNearDups(docs(s, d), "doc_id", "text", tau = 0.3)
+      Dedup.minhashNearDups(docs(s, d), "doc_id", "text", tau = 0.3,
+          family = HashFamily.Md5Hex)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -135,14 +141,18 @@ object PipelineQueries {
 
     // COMMITTED MinHash-LSH band index: build on ⅔ of the corpus,
     // append the rest incrementally, then verify near-dups over the
-    // committed bands — rows EQUAL dd03's inline pipeline (spec-pinned
-    // set equality; rows-only here: xxhash64 signatures)
+    // committed bands — FULL oracle (Md5Hex family; the oracle SQL is
+    // dd03's VERBATIM, which also hard-proves committed ≡ inline:
+    // band rows are per-doc independent, so build+append over the
+    // whole corpus produces exactly the inline pipeline's bands)
     "dd10_minhash_committed" -> ((s, d) => {
       val dd = docs(s, d)
       val store = new graft.store.SnapshotStore(
         java.nio.file.Files.createTempDirectory("dd-bands").toString, s)
-      MinHashIndex.build(store, 0, dd.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
-      MinHashIndex.append(store, 1, dd.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      MinHashIndex.build(store, 0, dd.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        family = HashFamily.Md5Hex)
+      MinHashIndex.append(store, 1, dd.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        family = HashFamily.Md5Hex)
       MinHashIndex.nearDups(store, dd, "doc_id", "text", tau = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -163,12 +173,13 @@ object PipelineQueries {
     }),
 
     // END-TO-END text dedup: MinHash-LSH near-dup pairs → connected
-    // components → keeper verdict over every document (the full
-    // pair-producing + consolidation composition; rows-only: xxhash64
-    // signatures — dd09 is the oracle-green CC twin on exact pairs)
+    // components → keeper verdict over every document — FULL oracle
+    // (Md5Hex family pairs + dd09's recursive-CTE transitive-closure
+    // tail over them)
     "dd11_text_dup_clusters" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.minhashNearDups(dd, "doc_id", "text", tau = 0.3)
+      val pairs = Dedup.minhashNearDups(dd, "doc_id", "text", tau = 0.3,
+          family = HashFamily.Md5Hex)
         .select(col("id_a"), col("id_b"))
       Dedup.dupClusters(dd.select(col("doc_id")), "doc_id", pairs)
         .select(col("id").as("doc_id"), col("component"),
@@ -280,10 +291,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // winnowing fingerprint (xxhash64 — rows-only)
+    // winnowing fingerprint — FULL oracle (Md5Hex family: DuckDB
+    // recomputes the word hashes, window minima and the fingerprint
+    // digest value-for-value)
     "ta04_fingerprint" -> ((s, d) => {
-      TextAnalysis.winnowingFingerprint(docs(s, d), "doc_id", "text")
-        .select(col("doc_id"), col("fingerprint64"))
+      TextAnalysis.winnowingFingerprint(docs(s, d), "doc_id", "text",
+          family = HashFamily.Md5Hex)
+        .select(col("doc_id"), col("fp_hash"))
         .orderBy(col("doc_id"))
     }),
 
