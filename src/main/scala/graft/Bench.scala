@@ -93,12 +93,22 @@ object Bench {
     }
 
     // ---- headline queries (count() forces the full plan)
-    val qtimes = HeadlineQueries.map { name =>
+    val qtimes0 = HeadlineQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val warm = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val t = if (warm) time(fn(spark, sfDir).count()) else -1.0
       name -> t
     }
+    // dd03's queries entry runs the Md5 oracle parameterization (round-5
+    // hard-oracle conversion); production defaults to xxhash64 — bench
+    // the production family too so the baseline-table series stays
+    // comparable across rounds (BENCH/BASELINE.md round-5 note)
+    val qtimes = qtimes0 :+ ("dd03_minhash_xx64" -> {
+      def prod() = graft.pipeline.Dedup.minhashNearDups(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+        tau = 0.3).count()
+      try { prod(); time(prod()) } catch { case _: Throwable => -1.0 }
+    })
 
     // ---- crawl frontier throughput: schedule+dedup URLs/sec over a
     // synthetic frontier (the BASELINE.json headline metric).

@@ -65,10 +65,14 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // prepare() materializes the per-shingle shared hash state in ONE
+    // projection, so a family whose seeds derive from a single digest
+    // (Md5) pays it once per shingle, not once per (shingle, seed)
     val sh = docs
       .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+      .select(col(idCol), family.prepare(col("sh")).as("hp"))
     val mins = (0 until numHashes).map(j =>
-      min(family.hash(col("sh"), j)).as(s"h$j"))
+      min(family.rankHashPrepared(col("hp"), lit(j))).as(s"h$j"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("minhash"))

@@ -8,48 +8,96 @@ import org.apache.spark.sql.functions._
   *
   * The sketches only ever need ORDERING and EQUALITY on hash values
   * (`min` per permutation slot, equi-join on band hashes), never bit
-  * arithmetic, so a family can return any orderable column type.
+  * arithmetic, so the family is a leaf-expression swap under the SAME
+  * pipeline code — the hard-oracle runs exercise exactly the plans
+  * production runs.
   *
   *   - [[HashFamily.XxHash64]] — production default: Spark-native
-  *     `xxhash64`, codegen'd, 8-byte values, the cheapest thing the
-  *     engine can evaluate per shingle. But the algorithm is
-  *     Spark-specific: no external engine recomputes it, so every
-  *     signature-bearing query was stuck as a rows-only correctness
-  *     check.
-  *   - [[HashFamily.Md5Hex]] — the cross-engine family: seeded md5,
-  *     kept as the 32-char lowercase-hex string. md5 is universal
-  *     (DuckDB, Trino, Postgres…), and fixed-width hex strings compare
-  *     byte-identically everywhere, so a DuckDB oracle can twin the
-  *     ENTIRE MinHash → banding → candidate-join → exact-verify
-  *     pipeline value-for-value (CORRECTNESS rows dd02 / dd03 / dd10 /
-  *     ta04). 4× wider values than xxhash64 — a verification
-  *     parameterization, not the 10^10-doc default.
+  *     `xxhash64`, codegen'd, one call per (value, seed). The algorithm
+  *     is Spark-specific: no external engine recomputes it, so every
+  *     signature-bearing query was stuck as a rows-only check.
+  *   - [[HashFamily.Md5]] — the cross-engine family: ONE md5 per value,
+  *     split into two 48-bit halves h1/h2 (hex chars 1-12 and 13-24),
+  *     then the classic universal-hash construction. md5 is universal
+  *     and the arithmetic is exact 64-bit integer math everywhere
+  *     (h1 + 63·h2 < 2^55 — no overflow even under ANSI), so a DuckDB
+  *     oracle recomputes the ENTIRE MinHash → banding → candidate-join →
+  *     verify pipeline value-for-value (CORRECTNESS dd02/dd03/dd10/dd11/
+  *     ta04). Cost is ONE md5 + integer ops per value regardless of the
+  *     seed count — the naive 64-seeded-md5s-per-shingle variant benched
+  *     15× slower than xxhash64 on the dd03 headline.
   *
-  * Both families feed the SAME pipeline code — the operators are
-  * family-generic, so the hard-oracle runs exercise exactly the plans
-  * production runs, just with a different leaf expression.
+  * TWO seeded hashes, because sketches consume hashes two ways:
+  *
+  *   - [[HashFamily.hashPrepared]] — EQUALITY-oriented (band-bucket
+  *     keys, fingerprint digests): only collision probability matters,
+  *     so the full-width `h1 + seed·h2` (< 2^55) is right.
+  *   - [[HashFamily.rankHashPrepared]] — ORDERING-oriented (MinHash
+  *     permutation slots, winnowing window minima): the ORDER induced
+  *     per seed must be well-mixed and ~independent across seeds.
+  *     Un-reduced `h1 + j·h2` fails this badly: for j ≥ 2 the j·h2 term
+  *     dominates, so argmin ≈ argmin(h2) for every high seed — the 64
+  *     "permutations" collapse to ~3 distinct ones, and LSH candidate
+  *     pairs explode (measured 17,689 vs 410 on the sf0.1 corpus).
+  *     The fix is the textbook `(h1 + j·h2) mod p` universal family
+  *     (p = 2^31−1, Mersenne prime): the wrap re-mixes the order per
+  *     seed, and `%` on positive BIGINTs is exact in every engine.
+  *
+  * Seeds must stay < 64 so the no-overflow bound holds; the operators
+  * use ≤ 64 permutations / ≤ 16 bands / seeds {0, 1}.
   */
 sealed trait HashFamily {
-  /** Seeded hash of a string column; orderable + equality-comparable.
-    * Distinct seeds must give (approximately) independent functions.
+
+  /** Per-value shared state the seeded hashes derive from (lets one
+    * projection pay the digest once for all seeds of a value).
     */
-  def hash(value: Column, seed: Column): Column
+  def prepare(value: Column): Column
+
+  /** Equality-oriented seeded hash from [[prepare]]'s output; LongType.
+    * `seed` must be in [0, 64).
+    */
+  def hashPrepared(prepared: Column, seed: Column): Column
+
+  /** Ordering-oriented seeded hash (see class doc); defaults to the
+    * equality hash for families whose order is already well-mixed.
+    */
+  def rankHashPrepared(prepared: Column, seed: Column): Column =
+    hashPrepared(prepared, seed)
+
+  final def hash(value: Column, seed: Column): Column =
+    hashPrepared(prepare(value), seed)
   final def hash(value: Column, seed: Int): Column = hash(value, lit(seed))
+  final def rankHash(value: Column, seed: Int): Column =
+    rankHashPrepared(prepare(value), lit(seed))
 }
 
 object HashFamily {
 
-  /** Spark-native 64-bit xxhash, seed mixed in as an extra hashed word. */
+  /** Spark-native 64-bit xxhash, seed mixed in as an extra hashed word;
+    * every seed is a full independent avalanche, so rank = equality.
+    */
   case object XxHash64 extends HashFamily {
-    override def hash(value: Column, seed: Column): Column =
-      xxhash64(value, seed)
+    override def prepare(value: Column): Column = value
+    override def hashPrepared(prepared: Column, seed: Column): Column =
+      xxhash64(prepared, seed)
   }
 
-  /** Seeded md5 as lowercase hex — the DuckDB-twinnable family:
-    * `md5(seed || ':' || value)` is the same bytes in any engine.
+  /** One-md5 double hashing (see class doc): prepare = (h1, h2) struct,
+    * equality hash = h1 + seed·h2, rank hash = (h1 + seed·h2) mod
+    * (2^31−1). DuckDB-recomputable exactly.
     */
-  case object Md5Hex extends HashFamily {
-    override def hash(value: Column, seed: Column): Column =
-      md5(concat(seed.cast("string"), lit(":"), value))
+  case object Md5 extends HashFamily {
+    val RankModulus = 2147483647L // 2^31 - 1, prime
+
+    override def prepare(value: Column): Column = {
+      val d = md5(value)
+      struct(
+        conv(substring(d, 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(d, 13, 12), 16, 10).cast("long").as("h2"))
+    }
+    override def hashPrepared(prepared: Column, seed: Column): Column =
+      prepared.getField("h1") + seed.cast("long") * prepared.getField("h2")
+    override def rankHashPrepared(prepared: Column, seed: Column): Column =
+      pmod(hashPrepared(prepared, seed), lit(RankModulus))
   }
 }

@@ -233,7 +233,9 @@ object TextAnalysis {
       window: Int = 4,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val toks = wsTokens(col(textCol))
-    val hashes = transform(toks, t => family.hash(t, 0))
+    // rankHash: winnowing takes window MINIMA, so the order must be
+    // well-mixed (see HashFamily's rank-vs-equality doc)
+    val hashes = transform(toks, t => family.rankHash(t, 0))
     val nWin = greatest(size(hashes) - window + 1, lit(1))
     // empty branch reuses `hashes` (already empty) so the when/otherwise
     // types agree for ANY family value type

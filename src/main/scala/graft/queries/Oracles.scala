@@ -66,27 +66,42 @@ object Oracles {
   }
 
 
+  /** The Md5 hash family's seeded hash as DuckDB SQL (HashFamily.Md5:
+    * Kirsch–Mitzenmacher double hashing — ONE md5 per value split into
+    * two 48-bit halves, seed j's hash = h1 + j·h2; max < 2^55, exact
+    * BIGINT math in both engines). `vh1`/`vh2` are the halves of
+    * `md5(valueExpr)`.
+    */
+  private def md5h1(valueExpr: String): String =
+    s"CAST('0x' || substr(md5($valueExpr), 1, 12) AS BIGINT)"
+  private def md5h2(valueExpr: String): String =
+    s"CAST('0x' || substr(md5($valueExpr), 13, 12) AS BIGINT)"
+
   /** The full MinHash → LSH-bands → candidate-join → exact-Jaccard
-    * pipeline under the Md5Hex hash family (HashFamily.Md5Hex:
-    * `md5(seed || ':' || value)` — recomputable in any engine), twinning
+    * pipeline under the Md5 hash family, twinning
     * Dedup.minhashNearDups(tau = 0.3) value-for-value: the dd05
-    * tokenizer/shingler CTEs, 64 signature mins, 16 band hashes over
-    * 4-wide signature slices, distinct candidate pairs, exact Jaccard on
-    * candidates. Shared VERBATIM by dd03 (inline pipeline) and dd10
-    * (committed band index) — band rows are per-doc independent, so
-    * build+append over the whole corpus produces exactly the inline
-    * bands, and one oracle hard-proves both plus committed ≡ inline.
+    * tokenizer/shingler CTEs, per-shingle h1/h2, 64 signature mins
+    * (min of h1 + j·h2), 16 band hashes over 4-wide signature slices
+    * (double hashing of the comma-joined slice, seed = band index),
+    * distinct candidate pairs, exact Jaccard on candidates. Shared
+    * VERBATIM by dd03 (inline pipeline) and dd10 (committed band
+    * index) — band rows are per-doc independent, so build+append over
+    * the whole corpus produces exactly the inline bands, and one oracle
+    * hard-proves both plus committed ≡ inline.
     */
   private val MinHashLshCtes: String = {
     val numHashes = 64
     val bands = 16
     val rpb = numHashes / bands
     val minCols = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || s)) AS h$j")
+      .map(j => s"min((h1 + $j * h2) % 2147483647) AS h$j")
       .mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
-      val joined = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5('$b:' || $joined) AS band_hash FROM sigs"
+      val joined = (0 until rpb)
+        .map(r => s"CAST(h${b * rpb + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"""SELECT doc_id, $b AS band,
+         |    ${md5h1("m")} + $b * ${md5h2("m")} AS band_hash
+         |  FROM (SELECT doc_id, $joined AS m FROM sigs)""".stripMargin
     }.mkString("\n  UNION ALL ")
     s"""toks AS (
        |  SELECT doc_id,
@@ -100,10 +115,12 @@ object Oracles {
        |  FROM toks
        |), e AS (
        |  SELECT doc_id, unnest(shingles) AS s FROM shl
+       |), hh AS (
+       |  SELECT doc_id, s, ${md5h1("s")} AS h1, ${md5h2("s")} AS h2 FROM e
        |), sigs AS (
        |  SELECT doc_id,
        |    $minCols
-       |  FROM e GROUP BY doc_id
+       |  FROM hh GROUP BY doc_id
        |), bd AS (
        |  $bandSelects
        |), cand AS (
@@ -135,26 +152,30 @@ object Oracles {
        |FROM vpairs WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin
 
   val all: Map[String, String] = Map(
-    // dd02: Md5Hex MinHash signature prefix — first 4 of the 64
+    // dd02: Md5 MinHash signature prefix — first 4 of the 64
     // signature mins (Spark computes 64 then slices; min-of-seed-j is
     // independent per j, so computing just the 4 output slots is
     // identical), joined with ',' exactly like the Spark side.
     "dd02_minhash_signature" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
-        |  FROM documents
-        |), shl AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
-        |    END) AS shingles
-        |  FROM toks
-        |), e AS (SELECT doc_id, unnest(shingles) AS s FROM shl)
-        |SELECT doc_id,
-        |  min(md5('0:' || s)) || ',' || min(md5('1:' || s)) || ',' ||
-        |  min(md5('2:' || s)) || ',' || min(md5('3:' || s)) AS sig_prefix
-        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'), t -> t <> '') AS tk
+         |  FROM documents
+         |), shl AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+         |    END) AS shingles
+         |  FROM toks
+         |), e AS (SELECT doc_id, unnest(shingles) AS s FROM shl
+         |), hh AS (
+         |  SELECT doc_id, ${md5h1("s")} AS h1, ${md5h2("s")} AS h2 FROM e)
+         |SELECT doc_id,
+         |  CAST(min(h1 % 2147483647) AS VARCHAR) || ',' ||
+         |  CAST(min((h1 + h2) % 2147483647) AS VARCHAR) || ',' ||
+         |  CAST(min((h1 + 2 * h2) % 2147483647) AS VARCHAR) || ',' ||
+         |  CAST(min((h1 + 3 * h2) % 2147483647) AS VARCHAR) AS sig_prefix
+         |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd03_minhash_lsh_pairs" -> MinHashLshPairsSql,
 
@@ -164,7 +185,7 @@ object Oracles {
     // pipeline values and the committed ≡ inline contract.
     "dd10_minhash_committed" -> MinHashLshPairsSql,
 
-    // dd11: the end-to-end composition — the Md5Hex pair CTEs verbatim
+    // dd11: the end-to-end composition — the Md5 pair CTEs verbatim
     // (tau 0.3, same as dd03), then dd09's recursive-CTE transitive
     // closure over every document id; component = min reachable id,
     // singletons label themselves.
@@ -186,24 +207,30 @@ object Oracles {
          |  doc_id = component AS is_keeper
          |FROM lbl ORDER BY doc_id""".stripMargin,
 
-    // ta04: Md5Hex winnowing — word hashes md5('0:'||token), window-4
-    // minima, digest md5('1:'||join of the sorted distinct minima).
+    // ta04: Md5 winnowing — word hash = seed-0 RANK hash (h1 of the
+    // token's md5, mod 2^31−1), window-4 minima, digest = seed-1
+    // equality hash of the comma-joined sorted distinct minima.
     "ta04_fingerprint" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-        |  FROM documents
-        |), h AS (
-        |  SELECT doc_id, list_transform(tk, t -> md5('0:' || t)) AS hs FROM toks
-        |), m AS (
-        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN hs
-        |    ELSE list_transform(range(greatest(len(hs) - 3, 1)),
-        |      i -> list_min(hs[i+1:i+4])) END AS mins
-        |  FROM h
-        |)
-        |SELECT doc_id,
-        |  md5('1:' || array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_hash
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_transform(tk, t -> ${md5h1("t")} % 2147483647) AS hs FROM toks
+         |), m AS (
+         |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN hs
+         |    ELSE list_transform(range(greatest(len(hs) - 3, 1)),
+         |      i -> list_min(hs[i+1:i+4])) END AS mins
+         |  FROM h
+         |), j AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(list_sort(list_distinct(mins)),
+         |      x -> CAST(x AS VARCHAR)), ',') AS fp
+         |  FROM m
+         |)
+         |SELECT doc_id, ${md5h1("fp")} + ${md5h2("fp")} AS fp_hash
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -25,13 +25,13 @@ object PipelineQueries {
     }),
 
     // MinHash signature prefix — FULL oracle via the injectable
-    // Md5Hex hash family (seeded md5, DuckDB-recomputable; production
+    // Md5 hash family (seeded md5, DuckDB-recomputable; production
     // default stays xxhash64 — PipelineSpec pins both families share
     // pipeline structure). Emitted as a comma-joined STRING: the
     // driver's comparator hashes column values and cannot hash arrays.
     "dd02_minhash_signature" -> ((s, d) => {
       Dedup.minhashSignatures(docs(s, d), "doc_id", "text",
-          family = HashFamily.Md5Hex)
+          family = HashFamily.Md5)
         .select(col("doc_id"),
           array_join(transform(slice(col("minhash"), 1, 4),
             x => x.cast("string")), ",").as("sig_prefix"))
@@ -39,11 +39,11 @@ object PipelineQueries {
     }),
 
     // MinHash+LSH near-dup pairs w/ exact-Jaccard verification — FULL
-    // oracle (Md5Hex family: DuckDB twins signatures → bands →
+    // oracle (Md5 family: DuckDB twins signatures → bands →
     // candidate join → exact Jaccard value-for-value)
     "dd03_minhash_lsh_pairs" -> ((s, d) => {
       Dedup.minhashNearDups(docs(s, d), "doc_id", "text", tau = 0.3,
-          family = HashFamily.Md5Hex)
+          family = HashFamily.Md5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -141,7 +141,7 @@ object PipelineQueries {
 
     // COMMITTED MinHash-LSH band index: build on ⅔ of the corpus,
     // append the rest incrementally, then verify near-dups over the
-    // committed bands — FULL oracle (Md5Hex family; the oracle SQL is
+    // committed bands — FULL oracle (Md5 family; the oracle SQL is
     // dd03's VERBATIM, which also hard-proves committed ≡ inline:
     // band rows are per-doc independent, so build+append over the
     // whole corpus produces exactly the inline pipeline's bands)
@@ -150,9 +150,9 @@ object PipelineQueries {
       val store = new graft.store.SnapshotStore(
         java.nio.file.Files.createTempDirectory("dd-bands").toString, s)
       MinHashIndex.build(store, 0, dd.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
-        family = HashFamily.Md5Hex)
+        family = HashFamily.Md5)
       MinHashIndex.append(store, 1, dd.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-        family = HashFamily.Md5Hex)
+        family = HashFamily.Md5)
       MinHashIndex.nearDups(store, dd, "doc_id", "text", tau = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -174,12 +174,12 @@ object PipelineQueries {
 
     // END-TO-END text dedup: MinHash-LSH near-dup pairs → connected
     // components → keeper verdict over every document — FULL oracle
-    // (Md5Hex family pairs + dd09's recursive-CTE transitive-closure
+    // (Md5 family pairs + dd09's recursive-CTE transitive-closure
     // tail over them)
     "dd11_text_dup_clusters" -> ((s, d) => {
       val dd = docs(s, d)
       val pairs = Dedup.minhashNearDups(dd, "doc_id", "text", tau = 0.3,
-          family = HashFamily.Md5Hex)
+          family = HashFamily.Md5)
         .select(col("id_a"), col("id_b"))
       Dedup.dupClusters(dd.select(col("doc_id")), "doc_id", pairs)
         .select(col("id").as("doc_id"), col("component"),
@@ -291,12 +291,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // winnowing fingerprint — FULL oracle (Md5Hex family: DuckDB
+    // winnowing fingerprint — FULL oracle (Md5 family: DuckDB
     // recomputes the word hashes, window minima and the fingerprint
     // digest value-for-value)
     "ta04_fingerprint" -> ((s, d) => {
       TextAnalysis.winnowingFingerprint(docs(s, d), "doc_id", "text",
-          family = HashFamily.Md5Hex)
+          family = HashFamily.Md5)
         .select(col("doc_id"), col("fp_hash"))
         .orderBy(col("doc_id"))
     }),

@@ -51,19 +51,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute), "LSH reported a pair brute force rejects")
   }
 
-  test("hash families share pipeline structure: Md5Hex recall + verified jaccard") {
-    // the Md5Hex family (the DuckDB-oracle parameterization) must drive
+  test("hash families share pipeline structure: Md5 recall + verified jaccard") {
+    // the Md5 family (the DuckDB-oracle parameterization) must drive
     // the SAME pipeline to the same guarantees as production xxhash64:
     // every planted pair recalled, every reported pair brute-verified,
     // and jaccard values identical to xxhash64's on shared pairs (exact
     // verification is family-independent by construction)
     val md5nd = Dedup.minhashNearDups(nearDupDocs, "doc_id", "text",
-      tau = 0.5, family = HashFamily.Md5Hex)
+      tau = 0.5, family = HashFamily.Md5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     (0 until 20).foreach { i =>
       assert(md5nd.contains((i * 2L, i * 2L + 1)),
-        s"planted pair (${i * 2},${i * 2 + 1}) missed under Md5Hex")
+        s"planted pair (${i * 2},${i * 2 + 1}) missed under Md5")
     }
     val all = nearDupDocs.select(col("doc_id").as("id_a"))
       .crossJoin(nearDupDocs.select(col("doc_id").as("id_b")))
@@ -73,7 +73,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     assert(md5nd.keySet.subsetOf(brute.keySet),
-      "Md5Hex LSH reported a pair brute force rejects")
+      "Md5 LSH reported a pair brute force rejects")
     md5nd.foreach { case (p, j) =>
       assert(brute(p) == j, s"pair $p jaccard drifted across families")
     }
@@ -604,14 +604,14 @@ class PipelineSpec extends AnyFunSuite {
     val inter = fps(1L).toSet.intersect(fps(2L).toSet).size.toDouble
     val overlap = inter / math.max(fps(1L).size, fps(2L).size)
     assert(overlap >= 0.5, s"winnowing overlap $overlap too low after 1-word edit")
-    // the Md5Hex family keeps the same robustness property (ta04's
+    // the Md5 family keeps the same robustness property (ta04's
     // hard-oracle parameterization shares the pipeline, not just shape)
     val fpsMd5 = TextAnalysis.winnowingFingerprint(df, "doc_id", "text",
-        family = HashFamily.Md5Hex)
-      .select("doc_id", "fingerprint").as[(Long, Seq[String])].collect().toMap
+        family = HashFamily.Md5)
+      .select("doc_id", "fingerprint").as[(Long, Seq[Long])].collect().toMap
     val interM = fpsMd5(1L).toSet.intersect(fpsMd5(2L).toSet).size.toDouble
     val overlapM = interM / math.max(fpsMd5(1L).size, fpsMd5(2L).size)
-    assert(overlapM >= 0.5, s"Md5Hex winnowing overlap $overlapM too low")
+    assert(overlapM >= 0.5, s"Md5 winnowing overlap $overlapM too low")
   }
 
   test("multimodal features deterministic under repartitioning + batch shape real") {
