@@ -138,6 +138,12 @@ object Round {
       .join(dinfo.hint("shuffle_hash"), Seq("host"), "left")
       .filter(coalesce(col("is_crap"), lit(false)) === false)
       .filter(coalesce(col("dead_in_a_row"), lit(0)) < cfg.deadRetireThreshold)
+      // project the consumed filter columns away BEFORE the gate +
+      // checkpoint: everything downstream (politeness, carryover, crawl
+      // log) needs only the frontier columns + pages_crawled, so
+      // is_crap/dead_in_a_row would otherwise ride the round's cached
+      // blocks and every later exchange for nothing
+      .select((frontierCols.map(col) :+ col("pages_crawled")): _*)
 
     // ---- 2. robots gate: denied rows are consumed (logged), never fetched.
     // Cached: re-used by the carry-over anti-join, next-frontier build and
@@ -151,7 +157,12 @@ object Round {
     // cached before the range exchange so its sampling pass and the
     // shuffle read the window output once, then laid out as ordered
     // ranges of the normative crawl order for the sequencer
-    val sched0 = Politeness.schedule(allowed, cfg).localCheckpoint(false)
+    // drop the gate/budget columns (robots_allowed, crawl_delay,
+    // pages_crawled) the schedule has fully consumed: the range exchange,
+    // both schedule checkpoints and the carryover anti-join need only the
+    // frontier columns
+    val sched0 = Politeness.schedule(allowed, cfg)
+      .select(frontierCols.map(col): _*).localCheckpoint(false)
     val scheduled =
       GoldenSeq.layout(sched0, spark.sessionState.conf.numShufflePartitions)
     val carryover = allowed
@@ -183,8 +194,16 @@ object Round {
     val urlBloom = spark.sparkContext.broadcast(st.urlBloom)
     val corpusPruned = in.corpus.filter(
       graft.functions.BloomProbe.mightContain(urlBloom, col("doc_id")))
-    val joined = scheduled
-      .join(corpusPruned, scheduled("url") === corpusPruned("doc_id"), "left")
+    // narrow the probe side BEFORE the fetch-join exchange: of the
+    // schedule's 9 columns the fetch result only ever consumes these 5 —
+    // in particular discovered_from (a full URL string) and enqueue_seq
+    // would otherwise ride the round's biggest shuffle AND the fat
+    // checkpointed fetch result for nothing (retry entries rebuild their
+    // enqueue_seq from the URL, carryover comes from `allowed`)
+    val fetchIn = scheduled
+      .select(col("url"), col("host"), col("depth"), col("priority"), col("retries"))
+    val joined = fetchIn
+      .join(corpusPruned, fetchIn("url") === corpusPruned("doc_id"), "left")
       .join(broadcast(in.hostDeaths), Seq("host"), "left")
       .join(in.corpusHosts.withColumn("host_in_corpus", lit(true))
         .hint("shuffle_hash"), Seq("host"), "left")
@@ -192,6 +211,13 @@ object Round {
         coalesce(col("host_in_corpus"), lit(false)) &&
           coalesce(col("dead_from_round"), lit(Int.MaxValue)) > round)
       .withColumn("alive", col("doc_id").isNotNull && col("host_alive"))
+      // checkpoint exactly the consumed columns (drops dead_from_round /
+      // host_in_corpus and the corpus side's non-span extras): the cached
+      // blocks are copied row-by-row into storage, so width here is paid
+      // three times — copy, SizeEstimator sampling, and every re-read
+      .select(col("url"), col("host"), col("depth"), col("priority"),
+        col("retries"), col("doc_id"), col("spans"), col("host_alive"),
+        col("alive"))
       .localCheckpoint(false)
 
     // ---- 6. parse spans (one typed pass, SURVEY.md U5)
