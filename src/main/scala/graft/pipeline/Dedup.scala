@@ -187,14 +187,17 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash: per token-hash bit votes (+1/-1), sign of the vote
-    * sum becomes the bit. One exploded pass, 64 sum aggregates.
+    * sum becomes the bit. One exploded pass, 64 sum aggregates. The bit
+    * source is the injectable [[HashFamily]] (xxhash64 default; Md5 for
+    * the DuckDB-twinned CORRECTNESS dd04).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", family.bitSource(col("t")))
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+      sum(when(family.bitAt(col("h"), j) === 1L, 1)
         .otherwise(-1)).as(s"b$j")
     }
     tok.groupBy(col(idCol))
@@ -337,8 +340,9 @@ object Dedup {
     */
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+      maxHamming: Int = 3,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol, family)
     val chunked = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))

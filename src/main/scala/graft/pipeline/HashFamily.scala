@@ -64,6 +64,14 @@ sealed trait HashFamily {
   def rankHashPrepared(prepared: Column, seed: Column): Column =
     hashPrepared(prepared, seed)
 
+  /** Per-value state for [[bitAt]] (64 unbiased hash bits — SimHash's
+    * consumption mode: each bit is an independent ±1 vote).
+    */
+  def bitSource(value: Column): Column
+
+  /** Bit `j` (0/1 LongType, j in [0, 64)) of the value's hash. */
+  def bitAt(src: Column, j: Int): Column
+
   final def hash(value: Column, seed: Column): Column =
     hashPrepared(prepare(value), seed)
   final def hash(value: Column, seed: Int): Column = hash(value, lit(seed))
@@ -80,6 +88,9 @@ object HashFamily {
     override def prepare(value: Column): Column = value
     override def hashPrepared(prepared: Column, seed: Column): Column =
       xxhash64(prepared, seed)
+    override def bitSource(value: Column): Column = xxhash64(value)
+    override def bitAt(src: Column, j: Int): Column =
+      shiftright(src, j).bitwiseAND(lit(1L))
   }
 
   /** One-md5 double hashing (see class doc): prepare = (h1, h2) struct,
@@ -99,5 +110,10 @@ object HashFamily {
       prepared.getField("h1") + seed.cast("long") * prepared.getField("h2")
     override def rankHashPrepared(prepared: Column, seed: Column): Column =
       pmod(hashPrepared(prepared, seed), lit(RankModulus))
+    // 64 bits = h1's 48 + h2's low 16; bit ops only, so no ANSI overflow
+    override def bitSource(value: Column): Column = prepare(value)
+    override def bitAt(src: Column, j: Int): Column =
+      if (j < 48) shiftright(src.getField("h1"), j).bitwiseAND(lit(1L))
+      else shiftright(src.getField("h2"), j - 48).bitwiseAND(lit(1L))
   }
 }

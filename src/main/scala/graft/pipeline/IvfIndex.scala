@@ -44,11 +44,12 @@ object IvfIndex {
     */
   def build(
       store: SnapshotStore, snap: Int, corpus: DataFrame,
-      idCol: String, vecCol: String, nClusters: Int, iters: Int = 2): Unit = {
+      idCol: String, vecCol: String, nClusters: Int, iters: Int = 2,
+      family: HashFamily = HashFamily.XxHash64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = Similarity
-      .kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+      .kmeansCentroids(corpus, idCol, vecCol, nClusters, iters, family)
       .toDF("cluster_id", "cvec")
     store.commit(snap,
       overwrite = Map(

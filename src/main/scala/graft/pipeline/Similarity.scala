@@ -62,21 +62,31 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim i): a seeded hash mapped to [-1, 1). No RNG state — pure
-    * function, identical on every executor.
+    * function, identical on every executor. Family-injectable
+    * (HashFamily doc): xxhash64 default; Md5 maps its 48-bit h1 of
+    * `md5(j:i)` to [-1, 1) with exact double arithmetic a DuckDB twin
+    * reproduces bit-for-bit (CORRECTNESS dd06 / ann02).
     */
-  private def planeComponent(j: Int, i: Column): Column =
-    (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeComponent(j: Int, i: Column, family: HashFamily): Column =
+    family match {
+      case HashFamily.XxHash64 =>
+        xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble)
+      case HashFamily.Md5 =>
+        family.hash(concat(lit(j.toString), lit(":"), i.cast("string")), 0)
+          .cast("double") / lit(1.40737488355328e14) - lit(1.0)
+    }
 
   /** nBits-bit random-hyperplane signature (SimHash for vectors):
     * bit j = sign(v · r_j). Vectors in the same bucket are likely
     * cosine-close; probing only the bucket turns top-k from O(n) per
     * query into O(bucket) — the IVF-style scale path.
     */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+  def hyperplaneSignature(vec: Column, nBits: Int,
+      family: HashFamily = HashFamily.XxHash64): Column =
     (0 until nBits).map { j =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(j, i)),
+          (x, i) => x.cast("double") * planeComponent(j, i, family)),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
@@ -88,11 +98,12 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+      hyperplaneSignature(col(vecCol), nBits, family).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      hyperplaneSignature(col(vecCol), nBits).as("bucket"))
+      hyperplaneSignature(col(vecCol), nBits, family).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
@@ -102,11 +113,12 @@ object Similarity {
   /** nBits-bit signature for band `band` — independent plane sets per
     * band (seed folded into the plane index).
     */
-  def bandSignature(vec: Column, nBits: Int, band: Int): Column =
+  def bandSignature(vec: Column, nBits: Int, band: Int,
+      family: HashFamily = HashFamily.XxHash64): Column =
     (0 until nBits).map { j =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(band * 1024 + j, i)),
+          (x, i) => x.cast("double") * planeComponent(band * 1024 + j, i, family)),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
@@ -121,11 +133,12 @@ object Similarity {
     */
   def cosineNearDups(
       corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nBits: Int = 8, bands: Int = 1): DataFrame = {
+      tau: Double, nBits: Int = 8, bands: Int = 1,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val sig = corpus.select(
       (Seq(col(idCol), col(vecCol)) ++
         (0 until bands).map(b =>
-          bandSignature(col(vecCol), nBits, b).as(s"bucket_$b"))): _*)
+          bandSignature(col(vecCol), nBits, b, family).as(s"bucket_$b"))): _*)
     val candidates = (0 until bands).map { b =>
       val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
         col(s"bucket_$b").as("bucket"))
@@ -154,11 +167,32 @@ object Similarity {
     */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+      nClusters: Int, iters: Int = 2,
+      family: HashFamily = HashFamily.XxHash64): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // seeded, partitioning-free init choice; Md5 keys on the id's string
+    // rendering so an external oracle can reproduce the pick
+    val initKey = family match {
+      case HashFamily.XxHash64 => xxhash64(col(idCol))
+      case HashFamily.Md5      => family.hash(col(idCol).cast("string"), 0)
+    }
+    // per-component cluster mean, exactly reproducible under any
+    // partitioning. XxHash64 (production): exact DECIMAL average — the
+    // original contract. Md5 (oracle family): fixed-point micro-units —
+    // sum of floor(x·10^6) longs divided as doubles — because DECIMAL
+    // avg result types/rounding differ across engines, while integer
+    // sums + one IEEE double division are bit-identical everywhere.
+    def meanCol: Column = family match {
+      case HashFamily.XxHash64 =>
+        avg(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double")
+      case HashFamily.Md5 =>
+        sum(floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / lit(1000000.0)
+    }
     var centroids: Seq[(Int, Seq[Double])] = corpus
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(initKey, col(idCol))
       .limit(nClusters)
       .select(col(vecCol).cast("array<double>"))
       .as[Seq[Double]].collect().toSeq.zipWithIndex
@@ -175,8 +209,7 @@ object Similarity {
           first(col(vecCol)).as("v"))
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast("double").as("m"))
+        .agg(meanCol.as("m"))
         .groupBy(col("cluster_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster_id"),
@@ -202,10 +235,11 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nClusters: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+      nClusters: Int = 8, nProbe: Int = 2, iters: Int = 2,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cdf = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val cdf = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters, family)
       .toDF("cluster_id", "cvec")
     probeIndex(assignToCentroids(corpus, cdf, idCol, vecCol), cdf,
       queries, idCol, vecCol, k, nProbe)
@@ -286,10 +320,11 @@ object Similarity {
     */
   def semDeDup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 8, tau: Double = 0.95, iters: Int = 2): DataFrame = {
+      nClusters: Int = 8, tau: Double = 0.95, iters: Int = 2,
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters, family)
       .toDF("cluster_id", "cvec")
     val idx = assignToCentroids(corpus, cents, idCol, vecCol)
     val a = idx.select(col("cluster_id"), col("nn_id").as("id_a"), col("nn_vec").as("vec_a"))

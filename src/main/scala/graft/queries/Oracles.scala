@@ -151,6 +151,121 @@ object Oracles {
        |SELECT id_a, id_b, round(jac, 4) AS jaccard
        |FROM vpairs WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin
 
+  /** The Md5 family's hyperplane component for plane `p`, dim expr `i0`
+    * (0-based): h1 of md5("p:i0") mapped to [-1, 1) — exact IEEE double
+    * ops both engines reproduce (2^47 = 140737488355328 is an exact
+    * double).
+    */
+  private def planeSql(p: String, i0: String): String =
+    s"${md5h1(s"CAST($p AS VARCHAR) || ':' || CAST($i0 AS VARCHAR)")}" +
+      s" / 140737488355328.0 - 1.0"
+
+  /** Left-fold dot product of `vec` with plane `p` — DuckDB's
+    * list_reduce reproduces Spark's aggregate(zip_with(...)) double-add
+    * sequence bit-for-bit (dd07 precedent; the leading +0.0 is exact),
+    * so the d > 0 sign decisions agree exactly. DuckDB lambda index `i`
+    * is 1-based; Spark's sequence(0, n-1) is 0-based, hence i-1.
+    */
+  private def planeDotSql(vec: String, p: String): String =
+    s"list_reduce(list_transform($vec, (x, i) -> " +
+      s"CAST(x AS DOUBLE) * (${planeSql(p, "i - 1")})), (a, b) -> a + b)"
+
+  /** Packed hyperplane bucket over planes p = base..base+nBits-1. */
+  private def bucketSql(vec: String, base: Int, nBits: Int): String =
+    (0 until nBits).map { j =>
+      s"(CASE WHEN ${planeDotSql(vec, (base + j).toString)} > 0" +
+        s" THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" | ")
+
+  /** Exact left-fold cosine (dd07 precedent). */
+  private def cosSql(u: String, v: String): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        s"q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)"
+    s"(${dot(u, v)} / (sqrt(${dot(u, u)}) * sqrt(${dot(v, v)})))"
+  }
+
+  /** The Md5-family deterministic Lloyd quantizer (8 clusters, 2
+    * iterations) + inverted lists, twinning Similarity.kmeansCentroids /
+    * assignToCentroids value-for-value:
+    *   - init: the 8 vectors with the smallest (h1(md5(id)), id) — the
+    *     seeded, partitioning-free pick; cluster_id = rank − 1;
+    *   - assignment: argmin of (1.0 − round(cos, 9), cluster_id) — the
+    *     exact expression the Spark min_by orders by;
+    *   - means: fixed-point micro-units — sum(floor(x·10^6)::BIGINT) per
+    *     (cluster, pos) divided as doubles — integer sums are
+    *     order-independent and the one double division is IEEE-identical
+    *     (the Md5 family's mean arithmetic; production keeps DECIMAL);
+    *   - empty clusters keep their previous centroid (LEFT JOIN +
+    *     coalesce).
+    * Produces CTEs: emb (double vectors), c2 (final centroids), idx
+    * (inverted lists nn_id/nn_vec/cluster_id).
+    */
+  private val KmeansCtes: String = {
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cluster_id FROM (
+         |    SELECT e.vec_id, e.v, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY 1.0 - round(${cosSql("e.v", "c.cvec")}, 9), c.cluster_id) AS rn
+         |    FROM emb e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def means(asg: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT cluster_id, pos,
+         |      CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE) / 1000000.0 AS m
+         |    FROM (SELECT cluster_id, unnest(v) AS x,
+         |            generate_subscripts(v, 1) AS pos FROM $asg)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    def next(prev: String, m: String, out: String): String =
+      s"""$out AS (
+         |  SELECT p.cluster_id, coalesce(mm.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN $m mm ON mm.cluster_id = p.cluster_id)""".stripMargin
+    s"""emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cluster_id, v AS cvec
+       |  FROM (SELECT vec_id, v, ${md5h1("CAST(vec_id AS VARCHAR)")} AS hk FROM emb)
+       |  ORDER BY hk, vec_id LIMIT 8
+       |), ${assign("c0", "a1")},
+       |${means("a1", "m1")},
+       |${next("c0", "m1", "c1")},
+       |${assign("c1", "a2")},
+       |${means("a2", "m2")},
+       |${next("c1", "m2", "c2")},
+       |${assign("c2", "a3")},
+       |idx AS (
+       |  SELECT vec_id AS nn_id, v AS nn_vec, cluster_id FROM a3)""".stripMargin
+  }
+
+  /** ann03's full SQL (probe nProbe = 2 of 8, top-5) — shared verbatim
+    * with ann04 (committed index ≡ inline by construction).
+    */
+  private val IvfTopKSql: String =
+    s"""WITH $KmeansCtes,
+       |qp AS (
+       |  SELECT query_id, q_vec, cluster_id FROM (
+       |    SELECT e.vec_id AS query_id, e.v AS q_vec, c.cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 9) DESC, c.cluster_id ASC) AS pr
+       |    FROM emb e CROSS JOIN c2 c WHERE e.vec_id < 10)
+       |  WHERE pr <= 2
+       |), sc AS (
+       |  SELECT qp.query_id, ix.nn_id,
+       |    round(${cosSql("qp.q_vec", "ix.nn_vec")}, 6) AS score
+       |  FROM idx ix JOIN qp ON ix.cluster_id = qp.cluster_id
+       |  WHERE qp.query_id <> ix.nn_id
+       |), ranked AS (
+       |  SELECT query_id, nn_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, nn_id ASC) AS rank
+       |  FROM sc)
+       |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, String] = Map(
     // dd02: Md5 MinHash signature prefix — first 4 of the 64
     // signature mins (Spark computes 64 then slices; min-of-seed-j is
@@ -178,6 +293,114 @@ object Oracles {
          |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd03_minhash_lsh_pairs" -> MinHashLshPairsSql,
+
+    // dd04: Md5 SimHash — 64 ±1 bit votes per token hash (h1's 48 bits +
+    // h2's low 16), packed signature (bit 63 = the min-long literal:
+    // DuckDB's << errors on 1<<63), 16-bit chunk blocking, exact Hamming
+    // via bit_count(xor) — two's-complement in both engines.
+    "dd04_simhash_pairs" -> {
+      val votes = (0 until 64).map { j =>
+        val bit = if (j < 48) s"(h1 >> $j) & 1" else s"(h2 >> ${j - 48}) & 1"
+        s"sum(CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(",\n    ")
+      val pack = (0 until 64).map { j =>
+        val term = if (j == 63) "-9223372036854775808" else s"(1::BIGINT << $j)"
+        s"(CASE WHEN b$j > 0 THEN $term ELSE 0 END)"
+      }.mkString(" | ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\W+'), x -> x <> '')) AS tok
+         |  FROM documents
+         |), hh AS (
+         |  SELECT doc_id, ${md5h1("tok")} AS h1, ${md5h2("tok")} AS h2 FROM t
+         |), v AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM hh GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, $pack AS simhash FROM v
+         |), ch AS (
+         |  SELECT doc_id, simhash, c AS chunk, (simhash >> (16 * c)) & 65535 AS chunk_val
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)
+         |), pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM ch a JOIN ch b
+         |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT id_a, id_b, hamming FROM pr
+         |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // dd06: Md5 hyperplane LSH near-dups — 4 bands × 4-bit buckets
+    // (plane base = band·1024, the Spark side's seed fold), candidate
+    // union, exact-cosine verify at tau = 0.4.
+    "dd06_embed_neardups" -> {
+      val buckets = (0 until 4)
+        .map(b => s"${bucketSql("embedding", b * 1024, 4)} AS bucket_$b")
+        .mkString(",\n    ")
+      val bandJoins = (0 until 4).map { b =>
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM sg a JOIN sg b ON a.bucket_$b = b.bucket_$b AND a.vec_id < b.vec_id""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sg AS (
+         |  SELECT vec_id, embedding,
+         |    $buckets
+         |  FROM embeddings
+         |), cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |  $bandJoins)
+         |), sc AS (
+         |  SELECT c.id_a, c.id_b, round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "ann03_ivf_topk" -> IvfTopKSql,
+
+    // ann04 = ann03's SQL verbatim: the committed index's probe over
+    // build (same family) is row-identical to the inline ivfTopK —
+    // shared assign/probe plans; one oracle hard-proves both.
+    "ann04_ivf_committed" -> IvfTopKSql,
+
+    // dd08: SemDeDup — ann03's k-means CTEs verbatim, then the
+    // within-cluster smaller-id pruning: every vector keeps unless a
+    // smaller-id same-cluster neighbor has cosine ≥ 0.95.
+    "dd08_semdedup" ->
+      s"""WITH $KmeansCtes,
+         |l AS (
+         |  SELECT a.nn_id AS id_a, min(b.nn_id) AS dup_of
+         |  FROM idx a JOIN idx b
+         |    ON a.cluster_id = b.cluster_id AND b.nn_id < a.nn_id
+         |   AND round(${cosSql("a.nn_vec", "b.nn_vec")}, 6) >= 0.95
+         |  GROUP BY 1)
+         |SELECT i.nn_id AS vec_id, i.cluster_id, l.dup_of,
+         |  l.dup_of IS NULL AS kept
+         |FROM idx i LEFT JOIN l ON l.id_a = i.nn_id
+         |ORDER BY vec_id""".stripMargin,
+
+    // ann02: Md5 hyperplane LSH top-5 — one 6-bit signature, bucket
+    // equi-join, exact cosine, (score DESC, nn_id ASC) ranking (the
+    // two-phase salted top-k is result-identical to the single window —
+    // ann01's oracle pins the ranking convention).
+    "ann02_lsh_topk" ->
+      s"""WITH sg AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 0, 6)} AS bucket
+         |  FROM embeddings
+         |), sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS score
+         |  FROM sg q JOIN sg c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, nn_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, nn_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // dd10 = dd03's SQL verbatim: the committed index's nearDups over
     // build(⅔)+append(⅓) is row-identical to the inline pipeline (band

@@ -48,9 +48,12 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs, hamming <= 8 (rows-only)
+    // SimHash near-dup pairs, hamming <= 8 — FULL oracle (Md5 family:
+    // DuckDB recomputes the 64 bit votes, packed signature, chunk
+    // blocking and Hamming verification value-for-value)
     "dd04_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashNearDups(docs(s, d), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashNearDups(docs(s, d), "doc_id", "text", maxHamming = 8,
+          family = HashFamily.Md5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -71,12 +74,13 @@ object PipelineQueries {
     }),
 
     // embedding near-dup pairs via multi-band hyperplane LSH + exact
-    // cosine verification (candidate set is probabilistic — rows-only;
-    // dd07 is the exact-oracle twin). tau fits the testdata's random
-    // embeddings so the operator demonstrably yields pairs.
+    // cosine verification — FULL oracle (Md5 family planes; the DuckDB
+    // twin reproduces the plane dot-product folds bit-for-bit, dd07
+    // precedent). tau fits the testdata's random embeddings so the
+    // operator demonstrably yields pairs.
     "dd06_embed_neardups" -> ((s, d) => {
       Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
-        tau = 0.4, nBits = 4, bands = 4)
+        tau = 0.4, nBits = 4, bands = 4, family = HashFamily.Md5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -95,33 +99,40 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN top-5 (scale path; recall<1 — rows-only)
+    // LSH-bucketed ANN top-5 (scale path; recall<1 vs brute force, but
+    // the bucketed result itself is now FULL-oracle-exact: Md5 planes)
     "ann02_lsh_topk" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nBits = 6)
+        "vec_id", "embedding", k = 5, nBits = 6, family = HashFamily.Md5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF (k-means inverted lists) ANN top-5, probing 2 of 8 clusters
-    // (the coarse-quantizer scale path; recall<1 at nProbe<nClusters —
-    // rows-only, PipelineSpec pins nProbe=nClusters ≡ brute force)
+    // IVF (k-means inverted lists) ANN top-5, probing 2 of 8 clusters —
+    // FULL oracle (Md5 family: the DuckDB twin replays the seeded init,
+    // both Lloyd iterations with fixed-point micro-unit means, the
+    // assignment argmins, probe selection and final ranking
+    // value-for-value; PipelineSpec separately pins nProbe = nClusters
+    // ≡ brute force on the production family)
     "ann03_ivf_topk" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 2)
+        "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 2,
+        family = HashFamily.Md5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
     // IVF probe over the COMMITTED index tables (ann_centroids +
     // ann_index in a SnapshotStore) — row-identical to ann03 by
     // construction (shared assign/probe plans; PipelineSpec pins it,
-    // plus the incremental-append contract). rows-only: xxhash64 seeds.
+    // plus the incremental-append contract). FULL oracle: ann03's SQL
+    // verbatim, which also hard-proves committed ≡ inline.
     "ann04_ivf_committed" -> ((s, d) => {
       val e = embs(s, d)
       val store = new graft.store.SnapshotStore(
         java.nio.file.Files.createTempDirectory("ann-index").toString, s)
-      graft.pipeline.IvfIndex.build(store, 0, e, "vec_id", "embedding", nClusters = 8)
+      graft.pipeline.IvfIndex.build(store, 0, e, "vec_id", "embedding", nClusters = 8,
+        family = HashFamily.Md5)
       // cluster-partitioned compaction so the probe takes the PRUNED
       // read path (only the probed _pfx=<cluster_id> dirs are scanned —
       // pruned ≡ unpruned, PipelineSpec pins it)
@@ -132,11 +143,14 @@ object PipelineQueries {
     }),
 
     // SemDeDup: k-means clusters then within-cluster near-identical
-    // pruning (rows-only: xxhash64-seeded quantizer; PipelineSpec pins
-    // one-keeper-per-duplicate-group and keeps ⊆ corpus)
+    // pruning — FULL oracle (Md5 quantizer; the twin shares ann03's
+    // k-means CTEs verbatim and adds the within-cluster smaller-id
+    // pruning tail; PipelineSpec pins the planted-duplicate invariants
+    // on the production family)
     "dd08_semdedup" -> ((s, d) => {
       Similarity.semDeDup(embs(s, d), "vec_id", "embedding",
-        nClusters = 8, tau = 0.95).orderBy(col("vec_id"))
+        nClusters = 8, tau = 0.95, family = HashFamily.Md5)
+        .orderBy(col("vec_id"))
     }),
 
     // COMMITTED MinHash-LSH band index: build on ⅔ of the corpus,

@@ -155,6 +155,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 2, s"top-1 recall $hits/5 at nProbe=2 — quantizer broken")
   }
 
+  test("Md5-family IVF: full probe still degenerates to exact brute force") {
+    // the oracle parameterization (Md5 init + fixed-point means) must
+    // preserve IVF's structural guarantee: with nProbe = nClusters every
+    // (query, corpus) pair is scored once regardless of the quantizer,
+    // so the result EQUALS brute force — the same contract PipelineSpec
+    // pins for the production family
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "nn_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 8, family = HashFamily.Md5)
+      .select("query_id", "nn_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(full == brute, "Md5-family full-probe IVF drifted from brute force")
+  }
+
   test("COMMITTED IVF index: probe ≡ fresh ivfTopK; incremental append ≡ assignment against frozen centroids") {
     import graft.store.SnapshotStore
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
