@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *                            + URL Bloom, merged executor-side)
   *   3. wide-tables write    (frontier/domains/metrics tagged union;
   *                            observed metric: next round's frontier count)
-  *   4. row-heavy write      (seen/pages/pages_fts/links/facts/crawl_log
-  *                            tagged union; observed: seen-delta count)
-  *   5. seen-Bloom delta     (ONE treeAggregate over the cached delta)
+  *   4. row-heavy write      (seen/pages/links/facts/crawl_log tagged
+  *                            union; observed: seen-delta count)
+  *   5. FTS solo write       (pages_fts alone — its posting rows dominate
+  *                            the snapshot, so padding it to the
+  *                            row-heavy superset cost ~6% of crawl CPU)
+  *   6. seen-Bloom delta     (ONE treeAggregate over the cached delta)
   * plus a frontier count on the FIRST round of a run only (later rounds
   * reuse the write's observed metric), plus — ONLY when the scheduled
   * count is at most the seen-prefix space (the few-candidates regime,
@@ -225,7 +228,8 @@ final class CrawlLoop(
           "open_ports" -> out.portsDelta,
           "crawl_log" -> out.crawlLogDelta,
           "metrics" -> out.metricsDelta),
-        rowHeavy = SnapshotStore.RowHeavyTables)
+        rowHeavy = SnapshotStore.RowHeavyTables,
+        solo = SnapshotStore.SoloTables)
       // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
       // bloom-behind is not (see SeenSet crash-consistency scaladoc).
       // The delta Bloom is ONE cheap job over the cached delta (see

@@ -24,13 +24,15 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *     at it (like a bin-pack rewrite + snapshot expiry).
   *
   * ALL of a snapshot's tables — overwrites AND append deltas — are
-  * written by at most TWO Spark jobs (row-heavy narrow tables in one
-  * tagged union, the wide low-row tables in the other — see `writeData`),
-  * so the manifest entry for table t is `combined/{delta,rows}-XXXX/_t=t`.
-  * The driver plans/compiles/commits two writes instead of one per
-  * table — between small per-round stages the per-table write tails,
-  * not the executors, were the bottleneck (measured: the per-round
-  * fixed cost capped 8→32-core scaling at 0.27 efficiency in round 1).
+  * written by a FIXED handful of Spark jobs (row-heavy narrow tables in
+  * one tagged union, wide low-row tables in another, row-count-dominant
+  * `solo` tables each alone with their exact schema — see `writeData`),
+  * so the manifest entry for table t is
+  * `combined/{delta,rows,solo-t}-XXXX/_t=t`. The driver plans/compiles/
+  * commits a few writes instead of one per table — between small
+  * per-round stages the per-table write tails, not the executors, were
+  * the bottleneck (measured: the per-round fixed cost capped 8→32-core
+  * scaling at 0.27 efficiency in round 1).
   * Each table's exact schema is recorded in the manifest (`_schema:` keys)
   * and re-imposed on read, so empty deltas, the null-padded superset
   * files and plain per-table directories all read back identically.
@@ -78,15 +80,25 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     *     per round padded ×8).
     *
     * `rowHeavy` names the many-rows/few-columns tables; they union into
-    * their own narrow write, everything else into a second. Attach
-    * observations UPSTREAM (on the individual delta) — they ride
-    * whichever union their table lands in.
+    * their own narrow write, everything else into a second. `solo`
+    * names tables whose row count dominates the whole snapshot (the FTS
+    * postings: one row per term per fetched page) — each gets its OWN
+    * write job with its exact schema, because even inside the narrow
+    * row-heavy union the dominant table pays `UnsafeRowWriter.setNullAt`
+    * + `zeroOutNullBytes` on every missing superset column per row —
+    * profiled at ~6% of whole-crawl executor CPU (top JFR execution
+    * frame) with postings padded 5 → ~21 columns. Three write jobs per
+    * round instead of two — still amortized; the per-table job-tail
+    * regime this design replaced was eleven. Attach observations
+    * UPSTREAM (on the individual delta) — they ride whichever write
+    * their table lands in.
     */
   def writeData(
       snap: Int,
       overwrite: Map[String, DataFrame],
       append: Map[String, DataFrame],
-      rowHeavy: Set[String] = Set.empty)
+      rowHeavy: Set[String] = Set.empty,
+      solo: Set[String] = Set.empty)
       : Map[String, Seq[String]] = {
     val prev: Map[String, Seq[String]] =
       latestSnapshot.map(readManifest).getOrElse(Map.empty)
@@ -115,9 +127,13 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     }
 
     val all = (overwrite.toSeq ++ append.toSeq).sortBy(_._1)
-    val (heavy, rest) = all.partition { case (t, _) => rowHeavy(t) }
+    val (soloTabs, all0) = all.partition { case (t, _) => solo(t) }
+    val (heavy, rest) = all0.partition { case (t, _) => rowHeavy(t) }
     writeUnion(f"combined/delta-$snap%06d", rest)
     writeUnion(f"combined/rows-$snap%06d", heavy)
+    soloTabs.foreach { case (t, df) =>
+      writeUnion(f"combined/solo-$t-$snap%06d", Seq(t -> df))
+    }
     entries.toMap
   }
 
@@ -310,4 +326,9 @@ object SnapshotStore {
   val RowHeavyTables: Set[String] = Set(
     "seen", "pages", "pages_fts", "links", "media_refs", "emails",
     "btc_addresses", "ssh_fps", "open_ports", "crawl_log")
+
+  /** Row-count-dominant tables written alone with their exact schema —
+    * no superset null-padding (see [[SnapshotStore.writeData]]).
+    */
+  val SoloTables: Set[String] = Set("pages_fts")
 }
