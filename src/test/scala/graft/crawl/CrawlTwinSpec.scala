@@ -1,0 +1,93 @@
+package graft.crawl
+
+import graft.SparkTestSession
+import graft.queries.CrawlQueries
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.sys.process._
+
+/** Independent cross-implementation oracle for the crawl engine
+  * (SURVEY.md §6): `tools/crawl_twin.py` re-implements the determinism
+  * contract — canonicalize → sha1 fingerprint → tier priorities → total
+  * order → politeness budget → corpus join → span-order link extraction
+  * + enqueue_seq arithmetic → seen set → domain lifecycle merge — in
+  * pure Python, sharing zero code with the engine. This spec dumps the
+  * engine's crawl01_log / crawl02_domains / crawl03_seen tables and asks
+  * the twin to byte-diff them against its own replay. Unlike the frozen
+  * goldens (which the engine generated, so they prove stability, not
+  * initial correctness), a match here is genuine two-implementation
+  * agreement on every sequence number, domain lifecycle field and seen
+  * fingerprint.
+  */
+class CrawlTwinSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestSession.spark
+
+  private def fmt(v: Any): String = v match {
+    case null       => ""
+    case b: Boolean => if (b) "true" else "false"
+    case x          => x.toString
+  }
+
+  private def dumpAndDiff(st: graft.store.SnapshotStore, nHosts: Int, rounds: Int): Unit = {
+    val dir = Files.createTempDirectory("graft-twin").toString
+
+    def dump(name: String, lines: Seq[String]): Unit =
+      Files.writeString(Paths.get(dir, name), lines.mkString("\n") + "\n")
+
+    dump("crawl01_log.tsv",
+      st.read("crawl_log").orderBy("seq")
+        .select("seq", "round", "url", "host", "priority")
+        .collect().toSeq.map(r => (0 until 5).map(i => fmt(r.get(i))).mkString("\t")))
+
+    dump("crawl02_domains.tsv",
+      st.read("domains")
+        .select("host", "is_up", "dead_in_a_row", "first_seen_round",
+          "last_visited_round", "last_alive_round", "is_fake", "genuine_host",
+          "pages_crawled", "server", "powered_by")
+        .orderBy("host")
+        .collect().toSeq.map(r => (0 until 11).map(i => fmt(r.get(i))).mkString("\t")))
+
+    dump("crawl03_seen.tsv",
+      st.read("seen").select("fingerprint", "url").orderBy("fingerprint")
+        .collect().toSeq.map(r => s"${r.getString(0)}\t${r.getString(1)}"))
+
+    val cmd = Seq("python3", "tools/crawl_twin.py",
+      "--nhosts", nHosts.toString, "--rounds", rounds.toString,
+      "--engine-dir", dir)
+    val out = new StringBuilder
+    val exit = cmd.!(ProcessLogger(l => out.append(l).append('\n')))
+    info(out.toString)
+    assert(exit == 0, s"crawl twin diverged:\n$out")
+  }
+
+  test("crawl01/02/03 match the independent pure-Python replay byte-for-byte") {
+    val python = Seq("bash", "-lc", "command -v python3").!!.trim
+    assume(python.nonEmpty, "python3 not available in this environment")
+    dumpAndDiff(CrawlQueries.store(spark), CrawlQueries.NHosts, CrawlQueries.Rounds)
+  }
+
+  /** Different host count + more rounds: retry exhaustion, recrawl cadence
+    * and clone-group composition all shift, so a match here rules out the
+    * twin being tuned to the one fixture shape.
+    */
+  test("a differently-shaped crawl (45 hosts, 6 rounds) also matches the twin") {
+    val python = Seq("bash", "-lc", "command -v python3").!!.trim
+    assume(python.nonEmpty, "python3 not available in this environment")
+    import spark.implicits._
+    import graft.fixtures.SyntheticCorpus
+    val nHosts = 45
+    val rounds = 6
+    val dir = Files.createTempDirectory("graft-twin-crawl").toString
+    val st = new graft.store.SnapshotStore(dir, spark)
+    val loop = new CrawlLoop(st, CrawlQueries.Cfg)(spark)
+    loop.init(SyntheticCorpus.seedsLocal(nHosts, 8),
+      SyntheticCorpus.robotsLocal(nHosts).toDS())
+    loop.run(
+      SyntheticCorpus.docsLocal(nHosts).toDS().toDF(),
+      SyntheticCorpus.hostDeathsLocal(nHosts).toDF("host", "dead_from_round"),
+      rounds)
+    dumpAndDiff(st, nHosts, rounds)
+  }
+}
