@@ -65,7 +65,15 @@ object StreamingDedup {
       idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tau: Double = 0.5,
-      workDir: Option[String] = None)(implicit spark: SparkSession): Int = {
+      workDir: Option[String] = None,
+      /** index-maintenance cadence (the crawl loop's `compactEveryRounds`
+        * pattern): every K processed batches, rewrite both band tables
+        * into their pruned-read layouts ([[MinHashIndex.compactPrefix]]).
+        * Without a cadence a long-running ingest accretes unbounded
+        * un-partitioned delta dirs — the pruned-read machinery exists but
+        * every batch's index-side read degrades back to
+        * sum-of-all-deltas. Int.MaxValue disables. */
+      compactEveryBatches: Int = 16)(implicit spark: SparkSession): Int = {
     val base = Paths.get(workDir.getOrElse(
       Files.createTempDirectory("dedup-stream").toString))
     Files.createDirectories(base)
@@ -119,6 +127,12 @@ object StreamingDedup {
               PairsTable -> pairs),
             tags = Map(IngestBatchTag -> s"$ckptKey:$batchId"))
           processed += 1
+          // cadence maintenance AFTER the batch's atomic commit: the
+          // high-water tag rides forward through the compaction
+          // snapshots, so a crash anywhere in here still replays
+          // idempotently (the batch itself is already durable)
+          if (processed % compactEveryBatches == 0)
+            MinHashIndex.compactPrefix(store, snap + 1, idCol)
         }
         ()
       }
