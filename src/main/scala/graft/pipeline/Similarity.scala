@@ -92,20 +92,36 @@ object Similarity {
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: bucket by hyperplane signature, rank within the
-    * bucket only. Recall < 1 by construction (documented tradeoff);
-    * raise nBits for smaller buckets / lower recall, lower for the
-    * opposite.
+    * matched buckets only. Recall < 1 by construction (documented
+    * tradeoff): per-table collision probability for angle θ is
+    * (1 − θ/π)^nBits, so a SINGLE table retrieves ~1/2^nBits of the
+    * corpus and on weakly-clustered embeddings recall@k is near chance
+    * (measured 0.05 on the synthetic sf0.01 corpus — BENCH/BASELINE.md
+    * round-6 recall table). `nTables` is the standard fix: independent
+    * plane sets ([[bandSignature]]) union their candidates, lifting
+    * recall to 1 − (1 − p)^nTables while the scanned fraction stays
+    * ≤ nTables/2^nBits — the knob a production deployment tunes.
+    *
+    * Plan shape: signatures are computed in ONE corpus pass, the table
+    * index rides a posexplode, and ONE equi-join on (table, bucket)
+    * serves all tables; candidate pairs found by several tables are
+    * deduped before scoring (identical vectors ⇒ identical score, so
+    * the dedup is value-deterministic).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nBits: Int = 8,
-      family: HashFamily = HashFamily.XxHash64): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      hyperplaneSignature(col(vecCol), nBits, family).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      hyperplaneSignature(col(vecCol), nBits, family).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      family: HashFamily = HashFamily.XxHash64,
+      nTables: Int = 1): DataFrame = {
+    def sigTables(df: DataFrame, id: String, idAs: String, vecAs: String): DataFrame =
+      df.select(col(id).as(idAs), col(vecCol).as(vecAs),
+        posexplode(array((0 until nTables).map(t =>
+          bandSignature(col(vecCol), nBits, t, family)): _*)).as(Seq("t", "bucket")))
+    val c = sigTables(corpus, idCol, "nn_id", "nn_vec")
+    val q = sigTables(queries, idCol, "query_id", "q_vec")
+    val scored = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("nn_id"))
+      .dropDuplicates("query_id", "nn_id")
       .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
     topKPerQuery(scored, k)
   }

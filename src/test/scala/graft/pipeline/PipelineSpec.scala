@@ -647,4 +647,36 @@ class PipelineSpec extends AnyFunSuite {
       .select("batch_size").as[Int].collect()
     assert(batches.forall(_ <= 16) && batches.max == 16)
   }
+
+  /** Measured-recall floors (round-6): the hard oracles pin WHAT the
+    * approximations compute; these pin HOW CLOSE they land to the exact
+    * answer, so a knob/hash-family regression that silently craters
+    * quality fails the suite while staying "correct". Floors sit under
+    * the sf0.001 measured values (lsh 8-table 0.366, ivf 0.50, minhash
+    * 1.00 — BENCH/BASELINE.md round-6 recall table) with slack for
+    * testdata regeneration.
+    */
+  test("recall floors: multi-table LSH, IVF and MinHash vs exact twins") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .localCheckpoint()
+    val single = Recall.topKRecall(
+      Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 6), brute)
+    val multi = Recall.topKRecall(
+      Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 6,
+        nTables = 8), brute)
+    assert(multi > single,
+      s"multi-table LSH recall ($multi) must beat single-table ($single)")
+    assert(multi >= 0.25, s"8-table LSH recall@5 regressed: $multi (floor 0.25)")
+    val ivf = Recall.topKRecall(
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5), brute)
+    assert(ivf >= 0.40, s"IVF nProbe=2/8 recall@5 regressed: $ivf (floor 0.40)")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = Recall.exactNearDupPairs(docs, "doc_id", "text", tau = 0.5)
+      .localCheckpoint()
+    val mh = Recall.pairRecall(
+      Dedup.minhashNearDups(docs, "doc_id", "text", tau = 0.5), truth)
+    assert(mh >= 0.96, s"MinHash pair recall vs exact Jaccard regressed: $mh (floor 0.96)")
+  }
 }
