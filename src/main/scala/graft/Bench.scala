@@ -92,23 +92,56 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // ---- headline queries (count() forces the full plan)
+    // ---- headline queries (count() forces the full plan).
+    // WINDOW-ROBUSTNESS (round-6, same protocol as the crawl section):
+    // one warm run, then GRAFT_BENCH_QUERY_REPS timed runs, citing the
+    // MINIMUM — co-tenant noise only ever slows a run, so the min is the
+    // build's property; a single-shot timing left round-5's dd01 reading
+    // formally >2x baseline with no way to discharge it as noise.
+    val queryReps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "2").toInt
+    def timeQuery(run: () => Unit): Double = {
+      val warm = try { run(); true } catch { case _: Throwable => false }
+      if (!warm) -1.0
+      else (1 to queryReps).map(_ => time(run())).min
+    }
     val qtimes0 = HeadlineQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val warm = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val t = if (warm) time(fn(spark, sfDir).count()) else -1.0
-      name -> t
+      name -> timeQuery(() => fn(spark, sfDir).count())
     }
     // dd03's queries entry runs the Md5 oracle parameterization (round-5
     // hard-oracle conversion); production defaults to xxhash64 — bench
     // the production family too so the baseline-table series stays
-    // comparable across rounds (BENCH/BASELINE.md round-5 note)
-    val qtimes = qtimes0 :+ ("dd03_minhash_xx64" -> {
-      def prod() = graft.pipeline.Dedup.minhashNearDups(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-        tau = 0.3).count()
-      try { prod(); time(prod()) } catch { case _: Throwable => -1.0 }
-    })
+    // comparable across rounds (BENCH/BASELINE.md round-5 note). Reads
+    // THROUGH the same docs() source as the queries entries.
+    val qtimes = qtimes0 :+ ("dd03_minhash_xx64" -> timeQuery(() =>
+      graft.pipeline.Dedup.minhashNearDups(
+        graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+        tau = 0.3).count()))
+
+    // ---- approximate-operator quality (round-6): measured recall of the
+    // production-family (xxhash64) approximations vs their exact twins at
+    // this SF — the quality currency of LSH/IVF/MinHash beyond
+    // exactness-of-the-approximation. PipelineSpec floors these values.
+    val recallJson = try {
+      import graft.pipeline.{Dedup, Recall, Similarity}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .localCheckpoint()
+      val lshRecall = Recall.topKRecall(
+        Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 6), brute)
+      val lshMultiRecall = Recall.topKRecall(
+        Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 6,
+          nTables = 8), brute)
+      val ivfRecall = Recall.topKRecall(
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5), brute)
+      val docsDf = graft.queries.PipelineQueries.docs(spark, sfDir)
+      val truth = Recall.exactNearDupPairs(docsDf, "doc_id", "text", tau = 0.5)
+        .localCheckpoint()
+      val mhRecall = Recall.pairRecall(
+        Dedup.minhashNearDups(docsDf, "doc_id", "text", tau = 0.5), truth)
+      f""","recall":{"lsh_topk_at5":$lshRecall%.4f,"lsh8_topk_at5":$lshMultiRecall%.4f,"ivf_topk_at5":$ivfRecall%.4f,"minhash_pairs_tau05":$mhRecall%.4f,"queries":100,"truth_pairs":${truth.count()}}"""
+    } catch { case _: Throwable => "" }
 
     // ---- crawl frontier throughput: schedule+dedup URLs/sec over a
     // synthetic frontier (the BASELINE.json headline metric).
@@ -199,7 +232,7 @@ object Bench {
         s""""urls_per_sec":${f"${r.urlsPerSec}%.1f"},"canary_sec":${f"${r.canarySec}%.3f"}}""")
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"},"urls_per_sec_min":${f"${repResults.map(_.urlsPerSec).min}%.1f"},"cpu_seconds":${f"${best.cpuSec}%.1f"},"cpu_seconds_min":${f"${repResults.map(_.cpuSec).min}%.1f"},"cpu_util":${f"${best.cpuSec / crawlSec / cpus.toDouble}%.2f"},"reps":$repsJson,"canary_sec":${f"${canaries.min}%.3f"},"canary_runs":${canaries.map(c => f"$c%.3f").mkString("[", ",", "]")},"headline_rule":"urls_per_sec is the minimum-wall rep (co-tenant noise only slows runs; canary_sec calibrates the window, quiet-box q01 at sf0.1 = 0.42-0.58s)"}}"""
+      s"""{"metric":"headline+frontier","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","cpus":$cpus$recallJson,"crawl":{"hosts":$benchHosts,"rounds":$benchRounds,"urls_scheduled_deduped":$processed,"seconds":${f"$crawlSec%.3f"},"urls_per_sec":${f"$urlsPerSec%.1f"},"urls_per_sec_min":${f"${repResults.map(_.urlsPerSec).min}%.1f"},"cpu_seconds":${f"${best.cpuSec}%.1f"},"cpu_seconds_min":${f"${repResults.map(_.cpuSec).min}%.1f"},"cpu_util":${f"${best.cpuSec / crawlSec / cpus.toDouble}%.2f"},"reps":$repsJson,"canary_sec":${f"${canaries.min}%.3f"},"canary_runs":${canaries.map(c => f"$c%.3f").mkString("[", ",", "]")},"headline_rule":"urls_per_sec is the minimum-wall rep (co-tenant noise only slows runs; canary_sec calibrates the window, quiet-box q01 at sf0.1 = 0.42-0.58s)"}}"""
     println(json)
     // also persist the line: sbt wraps stdout in [info]/[error] noise and
     // the harness's stdout parse has been lost to it before

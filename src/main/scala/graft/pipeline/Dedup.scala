@@ -65,6 +65,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // Md5's no-overflow invariant caps usable seeds (HashFamily.MaxSeed)
+    require(family != HashFamily.Md5 || numHashes <= HashFamily.Md5.MaxSeed + 1,
+      s"Md5 family supports at most ${HashFamily.Md5.MaxSeed + 1} permutations")
     // prepare() materializes the per-shingle shared hash state in ONE
     // projection, so a family whose seeds derive from a single digest
     // (Md5) pays it once per shingle, not once per (shingle, seed)
@@ -86,7 +89,11 @@ object Dedup {
   def lshBands(
       signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
-      family: HashFamily = HashFamily.XxHash64): DataFrame =
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // the band index is the seed, and it's lambda-bound (not a literal),
+    // so Md5's plan-time literal check can't see it — bound it here
+    require(family != HashFamily.Md5 || bands <= HashFamily.Md5.MaxSeed + 1,
+      s"Md5 family supports at most ${HashFamily.Md5.MaxSeed + 1} bands")
     signatures.select(
       col(idCol),
       posexplode(transform(
@@ -94,6 +101,7 @@ object Dedup {
         b => family.hash(array_join(
           transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")), ","), b))).as(Seq("band", "band_hash")))
+  }
 
   /** All candidate pairs of one band table — self-join with the strict
     * `id_a < id_b` condition, which halves the pre-distinct row volume

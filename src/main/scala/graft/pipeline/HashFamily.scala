@@ -96,9 +96,31 @@ object HashFamily {
   /** One-md5 double hashing (see class doc): prepare = (h1, h2) struct,
     * equality hash = h1 + seed·h2, rank hash = (h1 + seed·h2) mod
     * (2^31−1). DuckDB-recomputable exactly.
+    *
+    * This is an ORACLE-SCALE parameterization, not a production
+    * substitute: the rank hash maps into only 2^31−1 values (vs
+    * xxhash64's full 64-bit range), so per-seed rank collisions among
+    * distinct shingles birthday at ~65k distinct shingles per
+    * (doc, seed) and would slightly bias MinHash minima at full corpus
+    * scale. Production paths keep the [[XxHash64]] default.
+    *
+    * [[MaxSeed]] guards the no-overflow invariant `h1 + seed·h2 < 2^55`
+    * (class doc): literal seeds are checked here at plan-build time;
+    * non-literal seeds (lshBands' lambda-bound band index) are bounded
+    * by the `require`s at the [[graft.pipeline.Dedup]] entry points.
     */
   case object Md5 extends HashFamily {
     val RankModulus = 2147483647L // 2^31 - 1, prime
+    val MaxSeed = 63L
+
+    private def boundLiteralSeed(seed: Column): Unit =
+      org.apache.spark.sql.graft.ColumnShim.expression(seed) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+        require(v.longValue >= 0 && v.longValue <= MaxSeed,
+          s"Md5 family seed ${v.longValue} outside [0, $MaxSeed] — " +
+            "h1 + seed*h2 would overflow the documented 2^55 bound")
+      case _ => // non-literal (lambda variable): bounded at the entry point
+    }
 
     override def prepare(value: Column): Column = {
       val d = md5(value)
@@ -106,8 +128,10 @@ object HashFamily {
         conv(substring(d, 1, 12), 16, 10).cast("long").as("h1"),
         conv(substring(d, 13, 12), 16, 10).cast("long").as("h2"))
     }
-    override def hashPrepared(prepared: Column, seed: Column): Column =
+    override def hashPrepared(prepared: Column, seed: Column): Column = {
+      boundLiteralSeed(seed)
       prepared.getField("h1") + seed.cast("long") * prepared.getField("h2")
+    }
     override def rankHashPrepared(prepared: Column, seed: Column): Column =
       pmod(hashPrepared(prepared, seed), lit(RankModulus))
     // 64 bits = h1's 48 + h2's low 16; bit ops only, so no ANSI overflow

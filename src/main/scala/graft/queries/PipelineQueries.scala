@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private def docs(s: SparkSession, d: String): DataFrame =
+  /** THE documents source every pipeline query reads — public so Bench's
+    * production-family series measures the same input as the `queries`
+    * entries (a diverging bench-side read would silently measure a
+    * different scan if this ever gains a filter/projection).
+    */
+  def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")

@@ -100,6 +100,13 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       rowHeavy: Set[String] = Set.empty,
       solo: Set[String] = Set.empty)
       : Map[String, Seq[String]] = {
+    // a table in BOTH maps would silently clobber: the solo path would
+    // aim two writeUnion overwrites at the same dir, and the union
+    // paths' manifest bookkeeping assumes the overwrite dir supersedes —
+    // there is no meaningful "overwrite AND append in one commit"
+    require((overwrite.keySet intersect append.keySet).isEmpty,
+      s"table(s) in both overwrite and append: " +
+        (overwrite.keySet intersect append.keySet).mkString(", "))
     val prev: Map[String, Seq[String]] =
       latestSnapshot.map(readManifest).getOrElse(Map.empty)
 
