@@ -60,46 +60,6 @@ final class CrawlLoop(
     }
   }
 
-  /** The corpus is immutable for a crawl's lifetime, so its fetch-join
-    * layout is paid ONCE per loop, not once per round (round-5 plan
-    * audit: the per-round corpus exchange survived every projection —
-    * ~60 GB/run of `UTF8String.fromAddress` shuffle-read allocation at
-    * bench scale was semantically-required only because each round's
-    * equi-join re-shuffled the fat spans side):
-    *
-    *   - hash-partition the corpus on `doc_id` (the fetch-join key) at
-    *     the session's static shuffle-partition count and persist — every
-    *     round's equi-join then SATISFIES the corpus-side distribution
-    *     (zero corpus-side Exchange in steady state; Round hints the
-    *     schedule side as the shuffled-hash BUILD side so the fat side
-    *     streams with no sort), and reads decoded cached columns instead
-    *     of re-scanning parquet per round;
-    *   - `corpusHosts` rides the same lifetime.
-    *
-    * Cached across run() calls keyed on the corpus reference (the bench
-    * and the streaming twin call run() repeatedly with the same frame);
-    * replaced — with an unpersist of the previous pair — when a
-    * different corpus arrives. At 10^10 scale this is the bucketed-table
-    * layout a real deployment would keep on disk.
-    */
-  private var corpusKey: AnyRef = null
-  private var corpusPart: DataFrame = null
-  private var corpusHostsCached: DataFrame = null
-
-  private[crawl] def corpusState(corpus: DataFrame): (DataFrame, DataFrame) = {
-    if (!(corpusKey eq corpus)) {
-      if (corpusPart != null) { corpusPart.unpersist(); corpusHostsCached.unpersist() }
-      val n = spark.sessionState.conf.numShufflePartitions
-      corpusPart = corpus.repartition(n, col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      corpusHostsCached = corpusPart
-        .select(graft.functions.UrlExpressions.url_host(col("doc_id")).as("host"))
-        .distinct().persist()
-      corpusKey = corpus
-    }
-    (corpusPart, corpusHostsCached)
-  }
-
   private val timing = sys.env.contains("GRAFT_TIMING")
   private def timed[A](r: Int, label: String)(f: => A): A =
     if (!timing) f
@@ -200,7 +160,9 @@ final class CrawlLoop(
     val robots = robotsOverride.getOrElse(
       store.read("robots_rules").as[RobotsRule])
     val gate = graft.frontier.Robots.prepare(robots, cfg)
-    val (corpusPartitioned, corpusHosts) = corpusState(corpus)
+    val corpusHosts = corpus
+      .select(graft.functions.UrlExpressions.url_host(col("doc_id")).as("host"))
+      .distinct().persist()
     // no checkpointed filter (fresh run or lost/stale sidecar): rebuild
     // from the authoritative seen table — an empty Bloom over non-empty
     // seen would wrongly bypass the exact anti-join for every
@@ -227,7 +189,7 @@ final class CrawlLoop(
         seen = store.read("seen"),
         domains = store.read("domains"),
         pages = store.read("pages"),
-        corpus = corpusPartitioned,
+        corpus = corpus,
         corpusHosts = corpusHosts,
         robots = gate,
         hostDeaths = hostDeaths,
@@ -240,7 +202,7 @@ final class CrawlLoop(
       val frontierRows = timed(r, "frontier_count") {
         frontierRowsNext.getOrElse(in.frontier.count())
       }
-      if (frontierRows == 0) return executed
+      if (frontierRows == 0) { corpusHosts.unpersist(); return executed }
       val out = timed(r, "round_plan+stats") {
         Round.run(in, cfg, r, seqBase, seenSet,
           schedHint = schedHintNext.map(_ * 2).getOrElse(frontierRows))
@@ -307,6 +269,7 @@ final class CrawlLoop(
       out.cached.foreach(release)
       executed += 1
     }
+    corpusHosts.unpersist()
     executed
   }
 }

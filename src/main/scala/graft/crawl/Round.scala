@@ -111,20 +111,6 @@ object Round {
     Seq("url", "host", "priority", "tier", "depth", "enqueue_seq",
       "discovered_from", "round", "retries")
 
-  /** The corpus fetch equi-join (S3/J3), SHUFFLE_HASH with the SCHEDULE
-    * as the build side: the loop hands in a corpus already
-    * hash-partitioned on doc_id (once per crawl, not per round —
-    * CrawlLoop.corpusState), so the fat side satisfies the join's
-    * distribution with ZERO per-round Exchange and streams with no sort;
-    * only the politeness-bounded schedule shuffles, and the per-partition
-    * hash maps are schedule-sized. (The unhinted plan sort-merge-joined:
-    * corpus exchange + corpus sort, every round.) Factored out so
-    * FetchPlanSpec asserts exactly this construction.
-    */
-  private[crawl] def fetchJoin(fetchIn: DataFrame, corpusPruned: DataFrame): DataFrame =
-    fetchIn.hint("shuffle_hash")
-      .join(corpusPruned, fetchIn("url") === corpusPruned("doc_id"), "left")
-
   def run(
       in: RoundInputs,
       cfg: CrawlConfig,
@@ -216,7 +202,8 @@ object Round {
     // enqueue_seq from the URL, carryover comes from `allowed`)
     val fetchIn = scheduled
       .select(col("url"), col("host"), col("depth"), col("priority"), col("retries"))
-    val joined = fetchJoin(fetchIn, corpusPruned)
+    val joined = fetchIn
+      .join(corpusPruned, fetchIn("url") === corpusPruned("doc_id"), "left")
       .join(broadcast(in.hostDeaths), Seq("host"), "left")
       .join(in.corpusHosts.withColumn("host_in_corpus", lit(true))
         .hint("shuffle_hash"), Seq("host"), "left")
