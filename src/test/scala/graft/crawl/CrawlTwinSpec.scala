@@ -53,6 +53,33 @@ class CrawlTwinSpec extends AnyFunSuite {
       st.read("seen").select("fingerprint", "url").orderBy("fingerprint")
         .collect().toSeq.map(r => s"${r.getString(0)}\t${r.getString(1)}"))
 
+    // the per-round append sinks the downstream crawl queries read
+    // (crawl04 links, crawl08 pages transitions, crawl11/12 facts,
+    // crawl13 media span order) — twinned as whole tables, so those
+    // queries' INPUTS are cross-implementation-pinned, not just the
+    // frontier state above
+    def dumpTable(name: String, cols: Seq[String], sortCols: Seq[String]): Unit =
+      dump(s"$name.tsv",
+        st.read(name).orderBy(sortCols.head, sortCols.tail: _*)
+          .select(cols.head, cols.tail: _*)
+          .collect().toSeq.map(r => (0 until cols.size).map(i => fmt(r.get(i))).mkString("\t")))
+
+    dumpTable("pages",
+      Seq("url", "host", "status", "title", "is_frontpage", "visited_round",
+        "content_sha1"),
+      Seq("url", "visited_round", "status"))
+    dumpTable("links",
+      Seq("src_url", "dst_url", "src_host", "dst_host", "round"),
+      Seq("src_url", "dst_url", "src_host", "dst_host", "round"))
+    dumpTable("media_refs",
+      Seq("url", "host", "media_ref", "pos", "round"),
+      Seq("url", "host", "media_ref", "pos", "round"))
+    Seq("emails", "btc_addresses", "ssh_fps", "open_ports").foreach(t =>
+      dumpTable(t, Seq("host", "value", "round"), Seq("host", "value", "round")))
+    dumpTable("pages_fts",
+      Seq("term", "url", "host", "in_title", "round"),
+      Seq("term", "url", "host", "in_title", "round"))
+
     val cmd = Seq("python3", "tools/crawl_twin.py",
       "--nhosts", nHosts.toString, "--rounds", rounds.toString,
       "--engine-dir", dir)

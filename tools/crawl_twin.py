@@ -228,6 +228,25 @@ SERVER_RX = re.compile(r"^server:\s*(\S[^\r\n]*)", re.I | re.M)
 POWERED_RX = re.compile(r"^x-powered-by:\s*(\S[^\r\n]*)", re.I | re.M)
 
 
+WORD_RX = re.compile(r"[A-Za-z0-9_]+")
+
+
+def fast_terms(s):
+    """Twin of the engine's fast_terms tokenizer (TextOps.fastTerms):
+    maximal [A-Za-z0-9_]+ runs, length >= 2, lowercased, distinct in
+    first-occurrence order. (The synthetic corpus is pure ASCII, so the
+    engine's ASCII fast path is the whole contract here.)"""
+    out, seen = [], set()
+    for m in WORD_RX.finditer(s):
+        t = m.group(0)
+        if len(t) > 1:
+            t = t.lower()
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    return out
+
+
 def distinct_in_order(xs):
     seen = set()
     out = []
@@ -271,6 +290,7 @@ def parse_doc(base_url, spans):
         "url": base_url,
         "host": host_of(base_url),
         "title": title,
+        "body_text": joined,
         "content_sha1": hashlib.sha1(joined.encode("utf-8")).hexdigest(),
         "links": links,
         "media_refs": media,
@@ -540,6 +560,7 @@ class Config:
     crap_subdomain_limit = 20
     max_url_retries = 2
     min_delay_sec = 1.0
+    compact_every_rounds = 2  # FTS index maintenance cadence (FIXTURES B4)
 
 
 def total_order_key(entry):
@@ -581,6 +602,15 @@ def run_crawl(n_hosts, rounds, seed_k=8, cfg=Config()):
     pages = []      # accumulated PageRow dicts (url, host, status, title,
                     #   is_frontpage, visited_round, content_sha1)
     crawl_log = []  # (seq, round, url, host, priority)
+    links = []      # (src_url, dst_url, src_host, dst_host, round) — every
+                    #   kept anchor of every fetched page, per round (append)
+    media_refs = [] # (url, host, media_ref, pos, round) — span-ordered
+    facts = {"emails": [], "btc_addresses": [], "ssh_fps": [],
+             "open_ports": []}  # each: (host, value, round), per-round distinct
+    fts = []        # (term, url, host, in_title, round) — RAW postings,
+                    #   per-page distinct via the tokenizer, NOT cross-page
+                    #   deduplicated (mirrors the engine's zero-shuffle
+                    #   append; duplicates collapse query-side)
     seq_base = 0
 
     for rnd in range(1, rounds + 1):
@@ -665,6 +695,42 @@ def run_crawl(n_hosts, rounds, seed_k=8, cfg=Config()):
             pages_delta.append(dict(url=e["url"], host=e["host"], status=404,
                                     title="", is_frontpage=path_of(e["url"]) == "/",
                                     visited_round=rnd, content_sha1=None))
+
+        # ---- 7b. links / media / harvest-fact deltas (append sinks) --------
+        # Mirrors the engine's per-round deltas exactly: links keep EVERY
+        # kept anchor (no dedup), media refs ride span order with their
+        # posexplode index, and each fact table is distinct over
+        # (host, value) within the round (in-page extraction is already
+        # distinct-in-order on both sides).
+        round_facts = {k: set() for k in facts}
+        for e, p in fetched:
+            for dst, _pos in p["links"]:
+                links.append((e["url"], dst, e["host"], host_of(dst), rnd))
+            for mpos, ref in enumerate(p["media_refs"]):
+                media_refs.append((e["url"], e["host"], ref, mpos, rnd))
+            for key, vals in (("emails", p["emails"]), ("btc_addresses", p["btcs"]),
+                              ("ssh_fps", p["ssh_fps"]), ("open_ports", p["ports"])):
+                for v in vals:
+                    round_facts[key].add((e["host"], v))
+        for key, pairs in round_facts.items():
+            facts[key].extend((h, v, rnd) for h, v in pairs)
+        for e, p in fetched:
+            for t in fast_terms(p["title"]):
+                fts.append((t, e["url"], e["host"], True, rnd))
+            for t in fast_terms(p["body_text"]):
+                fts.append((t, e["url"], e["host"], False, rnd))
+        # FTS index maintenance (the engine's compactEveryRounds cadence):
+        # collapse the RAW per-round postings to unique (term, url, host) —
+        # title flag preserved (max: true wins), latest observation round.
+        # Rounds after the last compaction stay raw, exactly like the
+        # engine's post-compaction deltas.
+        if rnd % cfg.compact_every_rounds == 0:
+            grouped = {}
+            for (t, u, h, it, r) in fts:
+                k = (t, u, h)
+                cur = grouped.get(k)
+                grouped[k] = ((it or cur[0]), max(r, cur[1])) if cur else (it, r)
+            fts = [(t, u, h, it, r) for (t, u, h), (it, r) in grouped.items()]
 
         # ---- 8. discoveries: anchors (span order) + onion mentions ----------
         candidates = []  # (fingerprint, url, host, depth, enqueue_seq, discovered_from)
@@ -827,7 +893,7 @@ def run_crawl(n_hosts, rounds, seed_k=8, cfg=Config()):
         # snapshot the committed first_seen ranks for NEXT round's clone pass
         first_seen_committed = {h: d["first_seen_round"] for h, d in domains.items()}
 
-    return crawl_log, seen, domains
+    return crawl_log, seen, domains, pages, links, media_refs, facts, fts
 
 
 # ---------------------------------------------------------------------------
@@ -857,6 +923,31 @@ def domains_lines(domains):
             d["genuine_host"], str(d["pages_crawled"]),
             d["server"], d["powered_by"]]))
     return out
+
+
+def pages_lines(pages):
+    rows = sorted(pages, key=lambda p: (p["url"], p["visited_round"], p["status"]))
+    return ["\t".join([p["url"], p["host"], str(p["status"]), p["title"],
+                       fmt_bool(p["is_frontpage"]), str(p["visited_round"]),
+                       p["content_sha1"] if p["content_sha1"] is not None else ""])
+            for p in rows]
+
+
+def links_lines(links):
+    return ["%s\t%s\t%s\t%s\t%d" % l for l in sorted(links)]
+
+
+def media_lines(media_refs):
+    return ["%s\t%s\t%s\t%d\t%d" % m for m in sorted(media_refs)]
+
+
+def fact_lines(rows):
+    return ["%s\t%s\t%d" % r for r in sorted(rows)]
+
+
+def fts_lines(fts):
+    return ["%s\t%s\t%s\t%s\t%d" % (t, u, h, fmt_bool(it), r)
+            for (t, u, h, it, r) in sorted(fts)]
 
 
 def diff_lines(name, twin, engine):
@@ -893,17 +984,26 @@ def main():
     ap.add_argument("--out", help="write the twin's own tables to this dir")
     args = ap.parse_args()
 
-    crawl_log, seen, domains = run_crawl(args.nhosts, args.rounds, args.seed_k)
+    crawl_log, seen, domains, pages, links, media_refs, facts, fts = \
+        run_crawl(args.nhosts, args.rounds, args.seed_k)
     log_l = crawl_log_lines(crawl_log)
     seen_l = seen_lines(seen)
     dom_l = domains_lines(domains)
+    extra = [("pages.tsv", pages_lines(pages)),
+             ("links.tsv", links_lines(links)),
+             ("media_refs.tsv", media_lines(media_refs)),
+             ("emails.tsv", fact_lines(facts["emails"])),
+             ("btc_addresses.tsv", fact_lines(facts["btc_addresses"])),
+             ("ssh_fps.tsv", fact_lines(facts["ssh_fps"])),
+             ("open_ports.tsv", fact_lines(facts["open_ports"])),
+             ("pages_fts.tsv", fts_lines(fts))]
 
     if args.out:
         import os
         os.makedirs(args.out, exist_ok=True)
         for name, lines in [("crawl01_log.tsv", log_l),
                             ("crawl02_domains.tsv", dom_l),
-                            ("crawl03_seen.tsv", seen_l)]:
+                            ("crawl03_seen.tsv", seen_l)] + extra:
             with open(os.path.join(args.out, name), "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + "\n")
         print("wrote twin tables to %s" % args.out)
@@ -917,12 +1017,19 @@ def main():
                          [ln.split("\t")[0] for ln in seen_l],
                          read_lines(args.golden_dir + "/seen.txt"))
     if args.engine_dir:
+        import os
         ok &= diff_lines("crawl01_log", log_l,
                          read_lines(args.engine_dir + "/crawl01_log.tsv"))
         ok &= diff_lines("crawl02_domains", dom_l,
                          read_lines(args.engine_dir + "/crawl02_domains.tsv"))
         ok &= diff_lines("crawl03_seen", seen_l,
                          read_lines(args.engine_dir + "/crawl03_seen.tsv"))
+        # the append sinks (engine dumps are optional so the spec can
+        # adopt them table by table)
+        for name, lines in extra:
+            path = os.path.join(args.engine_dir, name)
+            if os.path.exists(path):
+                ok &= diff_lines(name[:-4], lines, read_lines(path))
 
     if not (args.golden_dir or args.engine_dir or args.out):
         print("nothing to do: pass --golden-dir / --engine-dir / --out")
