@@ -402,6 +402,42 @@ object Oracles {
          |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // ann05: multi-table Md5 hyperplane LSH top-5 — 8 independent 6-bit
+    // signatures (plane base t*1024, the bandSignature convention dd06
+    // pins), candidates unioned across tables and deduped BEFORE scoring
+    // (identical vectors ⇒ identical score, so the dedup is
+    // value-deterministic), then ann02's exact-cosine ranking verbatim.
+    "ann05_lsh_multitable" -> {
+      val buckets = (0 until 8)
+        .map(t => s"${bucketSql("embedding", t * 1024, 6)} AS bucket_$t")
+        .mkString(",\n    ")
+      val tableJoins = (0 until 8).map { t =>
+        s"""SELECT q.vec_id AS query_id, c.vec_id AS nn_id
+           |  FROM sg q JOIN sg c ON q.bucket_$t = c.bucket_$t
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sg AS (
+         |  SELECT vec_id, embedding,
+         |    $buckets
+         |  FROM embeddings
+         |), cand AS (
+         |  SELECT DISTINCT query_id, nn_id FROM (
+         |  $tableJoins)
+         |), sc AS (
+         |  SELECT cand.query_id, cand.nn_id,
+         |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS score
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.query_id
+         |  JOIN embeddings c ON c.vec_id = cand.nn_id
+         |), ranked AS (
+         |  SELECT query_id, nn_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, nn_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, nn_id, score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     // dd10 = dd03's SQL verbatim: the committed index's nearDups over
     // build(⅔)+append(⅓) is row-identical to the inline pipeline (band
     // rows are per-doc independent), so the same oracle pins BOTH the

@@ -113,6 +113,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Multi-table LSH ANN top-5 (round-6 recall path: 8 independent
+    // plane sets union their candidates, deduped before scoring) — FULL
+    // oracle via Md5 planes; the production xxhash64 twin is floored by
+    // PipelineSpec's measured-recall test.
+    "ann05_lsh_multitable" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nBits = 6, family = HashFamily.Md5,
+        nTables = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF (k-means inverted lists) ANN top-5, probing 2 of 8 clusters —
     // FULL oracle (Md5 family: the DuckDB twin replays the seeded init,
     // both Lloyd iterations with fixed-point micro-unit means, the
