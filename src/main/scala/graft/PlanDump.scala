@@ -47,6 +47,12 @@ object PlanDump {
           "all-pairs."),
       "ann01_topk_bruteforce" ->
         "ANN exact baseline: queries broadcast, per-row cosine, top-k per query.",
+      "ann05_lsh_multitable" ->
+        ("Multi-table LSH ANN (round-6): all L plane-set signatures come " +
+          "from ONE corpus pass (posexplode of the L-signature array), one " +
+          "equi-join on (table, bucket) serves all tables, candidate pairs " +
+          "dedup BEFORE the cosine scoring, salted two-phase top-k — the " +
+          "recall knob adds no extra corpus scans."),
       "crawl05_search" ->
         ("FTS over the COMMITTED pages_fts table: the term predicate is " +
           "pushed to the parquet scan of the index (PushedFilters: In(term)), " +
