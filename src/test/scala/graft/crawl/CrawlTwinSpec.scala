@@ -80,6 +80,20 @@ class CrawlTwinSpec extends AnyFunSuite {
       Seq("term", "url", "host", "in_title", "round"),
       Seq("term", "url", "host", "in_title", "round"))
 
+    // per-round metric SUMS (= crawl09_metrics' exact output): the
+    // engine's table additionally carries per-partition lineage, which
+    // is execution-layout detail the twin has no business replaying —
+    // the deterministic contract is the per-round totals
+    dump("metrics.tsv", {
+      import org.apache.spark.sql.functions.sum
+      st.read("metrics").groupBy("round")
+        .agg(sum("urls_in").as("urls_in"), sum("denied").as("denied"),
+          sum("deduped").as("deduped"), sum("scheduled").as("scheduled"),
+          sum("fetched").as("fetched"), sum("new_onions").as("new_onions"))
+        .orderBy("round")
+        .collect().toSeq.map(r => (0 until 7).map(i => fmt(r.get(i))).mkString("\t"))
+    })
+
     val cmd = Seq("python3", "tools/crawl_twin.py",
       "--nhosts", nHosts.toString, "--rounds", rounds.toString,
       "--engine-dir", dir)

@@ -611,11 +611,18 @@ def run_crawl(n_hosts, rounds, seed_k=8, cfg=Config()):
                     #   per-page distinct via the tokenizer, NOT cross-page
                     #   deduplicated (mirrors the engine's zero-shuffle
                     #   append; duplicates collapse query-side)
+    metrics = []    # (round, urls_in, denied, deduped, scheduled, fetched,
+                    #   new_onions) — the engine's metrics table carries
+                    #   per-PARTITION lineage the twin cannot (and need not)
+                    #   replay; the per-round SUMS are deterministic and are
+                    #   exactly what crawl09_metrics aggregates
     seq_base = 0
 
     for rnd in range(1, rounds + 1):
         if not frontier:
             break
+
+        urls_in = len(frontier)
 
         # ---- 1. eligibility: drop retired + crap hosts ---------------------
         eligible = []
@@ -841,6 +848,18 @@ def run_crawl(n_hosts, rounds, seed_k=8, cfg=Config()):
                     obs_powered[h] = p["powered_by"]
 
         obs_hosts = set(alive_by_host) | set(miss_hosts)
+
+        # per-round metrics sums (engine: Round step 13 tagged union):
+        # urls_in = frontier rows entering the round; denied = eligible
+        # rows failing the robots gate; deduped = best-per-fingerprint
+        # candidates dropped as already-seen or crap-base; new_onions =
+        # next-frontier hosts in neither the committed domains nor this
+        # round's observations (discovered but not yet visited)
+        new_onion_hosts = ({e["host"] for e in frontier}
+                           - set(domains) - obs_hosts)
+        metrics.append((rnd, urls_in, len(eligible) - len(allowed),
+                        len(best) - len(fresh), len(scheduled),
+                        len(fetched), len(new_onion_hosts)))
         for host in set(domains) | obs_hosts:
             d = domains.get(host)
             fetched_pages = alive_by_host.get(host)   # None if not host-alive this round
@@ -893,7 +912,7 @@ def run_crawl(n_hosts, rounds, seed_k=8, cfg=Config()):
         # snapshot the committed first_seen ranks for NEXT round's clone pass
         first_seen_committed = {h: d["first_seen_round"] for h, d in domains.items()}
 
-    return crawl_log, seen, domains, pages, links, media_refs, facts, fts
+    return crawl_log, seen, domains, pages, links, media_refs, facts, fts, metrics
 
 
 # ---------------------------------------------------------------------------
@@ -945,6 +964,10 @@ def fact_lines(rows):
     return ["%s\t%s\t%d" % r for r in sorted(rows)]
 
 
+def metrics_lines(metrics):
+    return ["%d\t%d\t%d\t%d\t%d\t%d\t%d" % m for m in sorted(metrics)]
+
+
 def fts_lines(fts):
     return ["%s\t%s\t%s\t%s\t%d" % (t, u, h, fmt_bool(it), r)
             for (t, u, h, it, r) in sorted(fts)]
@@ -984,7 +1007,7 @@ def main():
     ap.add_argument("--out", help="write the twin's own tables to this dir")
     args = ap.parse_args()
 
-    crawl_log, seen, domains, pages, links, media_refs, facts, fts = \
+    crawl_log, seen, domains, pages, links, media_refs, facts, fts, metrics = \
         run_crawl(args.nhosts, args.rounds, args.seed_k)
     log_l = crawl_log_lines(crawl_log)
     seen_l = seen_lines(seen)
@@ -996,7 +1019,8 @@ def main():
              ("btc_addresses.tsv", fact_lines(facts["btc_addresses"])),
              ("ssh_fps.tsv", fact_lines(facts["ssh_fps"])),
              ("open_ports.tsv", fact_lines(facts["open_ports"])),
-             ("pages_fts.tsv", fts_lines(fts))]
+             ("pages_fts.tsv", fts_lines(fts)),
+             ("metrics.tsv", metrics_lines(metrics))]
 
     if args.out:
         import os
