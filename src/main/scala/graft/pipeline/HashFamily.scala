@@ -114,8 +114,8 @@ object HashFamily {
     val MaxSeed = 63L
 
     private def boundLiteralSeed(seed: Column): Unit =
-      org.apache.spark.sql.graft.ColumnShim.expression(seed) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+      org.apache.spark.sql.graft.ColumnShim.literalValue(seed) match {
+      case Some(v: Number) =>
         require(v.longValue >= 0 && v.longValue <= MaxSeed,
           s"Md5 family seed ${v.longValue} outside [0, $MaxSeed] — " +
             "h1 + seed*h2 would overflow the documented 2^55 bound")

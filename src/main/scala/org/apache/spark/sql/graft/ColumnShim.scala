@@ -17,4 +17,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The column's literal value, if it IS a literal. Spark 4's public
+    * `lit()` builds a lazy `internal.Literal` COLUMN NODE (converted to a
+    * catalyst `Literal` only at analysis), so a plan-build-time check
+    * must look at the node form too — matching only
+    * `catalyst.expressions.Literal` silently misses every public-API
+    * literal.
+    */
+  def literalValue(c: Column): Option[Any] = c.node match {
+    case org.apache.spark.sql.internal.Literal(v, _, _) => Some(v)
+    case _ => expression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => Some(v)
+      case _ => None
+    }
+  }
 }

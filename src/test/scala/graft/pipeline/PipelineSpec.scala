@@ -51,6 +51,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute), "LSH reported a pair brute force rejects")
   }
 
+  test("Md5 family seed bounds are enforced at every entry point") {
+    // the documented no-overflow invariant h1 + seed*h2 < 2^55 caps
+    // usable seeds at 63; exceeding it must fail LOUDLY at plan-build
+    // time, not wrap (or ANSI-error) mid-query and drift from the oracle
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashSignatures(docs, "doc_id", "text",
+        numHashes = 65, family = HashFamily.Md5)
+    }
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 64, family = HashFamily.Md5)
+    intercept[IllegalArgumentException] {
+      Dedup.lshBands(sigs, "doc_id", bands = 65, rowsPerBand = 1,
+        family = HashFamily.Md5)
+    }
+    intercept[IllegalArgumentException] {
+      HashFamily.Md5.hashPrepared(
+        HashFamily.Md5.prepare(lit("x")), lit(64L))
+    }
+    // the production family is unbounded — same calls plan fine
+    Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 65)
+  }
+
   test("hash families share pipeline structure: Md5 recall + verified jaccard") {
     // the Md5 family (the DuckDB-oracle parameterization) must drive
     // the SAME pipeline to the same guarantees as production xxhash64:

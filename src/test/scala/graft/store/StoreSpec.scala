@@ -87,4 +87,15 @@ class StoreSpec extends AnyFunSuite {
       .as[(String, String, Int)].collect().toSet
     assert(pruned == want.filter(r => pfx.contains(r._1.take(2))))
   }
+
+  test("commit rejects a table appearing in both overwrite and append") {
+    // the solo path would aim two writeUnion overwrites at one dir and
+    // silently clobber — the guard makes the contradiction loud
+    val st = freshStore()
+    val df = rows(4, "x").toDF("fingerprint", "url", "first_round")
+    val e = intercept[IllegalArgumentException] {
+      st.commit(0, overwrite = Map("seen" -> df), append = Map("seen" -> df))
+    }
+    assert(e.getMessage.contains("seen"))
+  }
 }
