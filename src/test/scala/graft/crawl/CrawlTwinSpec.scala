@@ -116,13 +116,9 @@ class CrawlTwinSpec extends AnyFunSuite {
     * compacted base PLUS a raw post-compaction delta (the steady-state
     * mixed layout), not just the fully-collapsed state.
     */
-  test("a differently-shaped crawl (45 hosts, 5 rounds) also matches the twin") {
-    val python = Seq("bash", "-lc", "command -v python3").!!.trim
-    assume(python.nonEmpty, "python3 not available in this environment")
+  private def runAndDiff(nHosts: Int, rounds: Int): Unit = {
     import spark.implicits._
     import graft.fixtures.SyntheticCorpus
-    val nHosts = 45
-    val rounds = 5
     val dir = Files.createTempDirectory("graft-twin-crawl").toString
     val st = new graft.store.SnapshotStore(dir, spark)
     val loop = new CrawlLoop(st, CrawlQueries.Cfg)(spark)
@@ -133,5 +129,22 @@ class CrawlTwinSpec extends AnyFunSuite {
       SyntheticCorpus.hostDeathsLocal(nHosts).toDF("host", "dead_from_round"),
       rounds)
     dumpAndDiff(st, nHosts, rounds)
+  }
+
+  test("a differently-shaped crawl (45 hosts, 5 rounds) also matches the twin") {
+    val python = Seq("bash", "-lc", "command -v python3").!!.trim
+    assume(python.nonEmpty, "python3 not available in this environment")
+    runAndDiff(nHosts = 45, rounds = 5)
+  }
+
+  /** Degenerate shape: only 4 hosts, BELOW the bomb-host index, so the
+    * subdomain-spam machinery never fires, the clone groups collapse and
+    * the frontier drains — the no-bomb / near-empty branches of both
+    * implementations must still agree exactly.
+    */
+  test("a tiny 4-host crawl (no bomb host, draining frontier) also matches the twin") {
+    val python = Seq("bash", "-lc", "command -v python3").!!.trim
+    assume(python.nonEmpty, "python3 not available in this environment")
+    runAndDiff(nHosts = 4, rounds = 3)
   }
 }
