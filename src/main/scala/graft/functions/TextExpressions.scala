@@ -101,6 +101,133 @@ object TextOps {
   }
 }
 
+/** Fused tokens→k-shingles for the dedup/similarity pipelines
+  * (SURVEY.md §3.8): value-identical to the Catalyst composition
+  *
+  *   array_distinct(
+  *     when(size(toks) < k, array(array_join(toks, " ")))
+  *       .otherwise(transform(sequence(0, size(toks) - k),
+  *         i => array_join(slice(toks, i + 1, k), " "))))
+  *   where toks = filter(split(lower(trim(text)), "\\W+"), _ =!= "")
+  *
+  * as ONE byte scan. The composition's cost is NOT the hashing that
+  * consumes it: Spark's higher-order functions (transform/filter lambdas,
+  * slice, array_join) are interpreted, not codegen'd — measured ~21 µs
+  * per ~30-byte shingle at sf0.1, making shingle CONSTRUCTION ~half of
+  * dd03's wall (BENCH/BASELINE.md round-6). The scan tokenizes maximal
+  * ASCII word-char runs lowercased in place (same safety argument as
+  * [[FastTerms]]: high-bit bytes are never word chars, so any non-ASCII
+  * input takes the regex fallback mirroring Spark semantics), then emits
+  * each k-window joined with single spaces, first-occurrence-distinct —
+  * exactly array_distinct's order. Below k tokens the single shingle is
+  * the whole token list joined (including the empty string for empty
+  * docs), matching the `when` branch. Property-tested against the
+  * composition in FastScanSpec; the dd03/dd05/dd10/dd11 oracles pin the
+  * values cross-engine.
+  */
+case class FastShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.fastShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.fastShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fast_shingles"
+}
+
+object ShingleOps {
+
+  private def isWord(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** static codegen target; see [[FastShingles]]. */
+  def fastShingles(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return slowShingles(s, k); i += 1 }
+
+    // tokenize: maximal word runs, ASCII-lowercased in place, ALL kept
+    // (order + duplicates — unlike fastTerms, which dedups and drops
+    // single-char tokens)
+    val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && !isWord(bytes(i))) i += 1
+      val start = i
+      while (i < n && isWord(bytes(i))) i += 1
+      if (i > start) {
+        val t = java.util.Arrays.copyOfRange(bytes, start, i)
+        var j = 0
+        while (j < t.length) {
+          if (t(j) >= 'A' && t(j) <= 'Z') t(j) = (t(j) + 32).toByte
+          j += 1
+        }
+        toks += t
+      }
+    }
+    joinWindows(toks, k)
+  }
+
+  private def joinBytes(toks: scala.collection.mutable.ArrayBuffer[Array[Byte]],
+      from: Int, until: Int): UTF8String = {
+    var len = 0
+    var i = from
+    while (i < until) { len += toks(i).length; i += 1 }
+    if (until > from) len += until - from - 1
+    val out = new Array[Byte](len)
+    var pos = 0
+    i = from
+    while (i < until) {
+      if (i > from) { out(pos) = ' '; pos += 1 }
+      System.arraycopy(toks(i), 0, out, pos, toks(i).length)
+      pos += toks(i).length
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private def joinWindows(toks: scala.collection.mutable.ArrayBuffer[Array[Byte]],
+      k: Int): ArrayData = {
+    if (toks.length < k)
+      return new GenericArrayData(Array[Any](joinBytes(toks, 0, toks.length)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= toks.length - k) {
+      seen.add(joinBytes(toks, i, i + k))
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** non-ASCII fallback: Spark-semantics trim + lower, the defining
+    * regex split, then the same windowing on Strings.
+    */
+  private def slowShingles(s: UTF8String, k: Int): ArrayData = {
+    val toksS = s.trim().toLowerCase.toString.split("\\W+", -1).filter(_.nonEmpty)
+    val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]](toksS.length)
+    toksS.foreach(t => toks += t.getBytes("UTF-8"))
+    joinWindows(toks, k)
+  }
+}
+
 object TextExpressions {
 
   @volatile private var registeredIn: SparkSession = _

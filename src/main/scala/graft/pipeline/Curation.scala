@@ -166,7 +166,7 @@ object Curation {
         * regime pattern). */
       broadcastEval: Boolean = true): DataFrame = {
     val sh = docs.select(col(idCol), isEval.as("is_eval"),
-      explode(Dedup.shingles(Dedup.tokens(col(textCol)), shingleK)).as("s"))
+      explode(Dedup.shingleSet(col(textCol), shingleK)).as("s"))
     val evalSh0 = sh.filter(col("is_eval")).select(col("s")).distinct()
     val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0.hint("shuffle_hash")
     val train = sh.filter(!col("is_eval"))

@@ -22,13 +22,28 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\W+"), t => t =!= "")
 
-  /** k-word shingles of a token array (distinct). */
+  /** k-word shingles of a token array (distinct). The defining Catalyst
+    * composition — [[shingleSet]] is the production fast path and
+    * FastScanSpec pins their equality.
+    */
   def shingles(toks: Column, k: Int): Column =
     array_distinct(
       when(size(toks) < k, array(array_join(toks, " ")))
         .otherwise(transform(
           sequence(lit(0), size(toks) - k),
           i => array_join(slice(toks, i + 1, lit(k)), " "))))
+
+  /** Fused tokens→shingles as ONE codegen'd byte scan — value-identical
+    * to `shingles(tokens(text), k)` but skips the interpreted
+    * higher-order-function machinery (transform/slice/array_join run
+    * row-at-a-time; measured ~half of dd03's wall at sf0.1 —
+    * BENCH/BASELINE.md round-6). Every shingle consumer goes through
+    * here; the composition above stays as the executable spec.
+    */
+  def shingleSet(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.FastShingles(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), k))
 
   // ---------------------------------------------------------------- exact
 
@@ -72,7 +87,7 @@ object Dedup {
     // projection, so a family whose seeds derive from a single digest
     // (Md5) pays it once per shingle, not once per (shingle, seed)
     val sh = docs
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+      .select(col(idCol), explode(shingleSet(col(textCol), shingleK)).as("sh"))
       .select(col(idCol), family.prepare(col("sh")).as("hp"))
     val mins = (0 until numHashes).map(j =>
       min(family.rankHashPrepared(col("hp"), lit(j))).as(s"h$j"))
@@ -162,7 +177,7 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("cid")))
     val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
     val sh = cand.select(col(idCol).as("jid"),
-      explode(shingles(tokens(col(textCol)), shingleK)).as("sh"))
+      explode(shingleSet(col(textCol), shingleK)).as("sh"))
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("jid").as("id_a"), col("sh"))
     val shB = sh.select(col("jid").as("id_b"), col("sh"))

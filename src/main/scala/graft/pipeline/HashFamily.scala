@@ -83,9 +83,19 @@ object HashFamily {
 
   /** Spark-native 64-bit xxhash, seed mixed in as an extra hashed word;
     * every seed is a full independent avalanche, so rank = equality.
+    *
+    * prepare() hashes the VALUE once (string bytes walked a single
+    * time); each seed then avalanches the prepared 64-bit word — one
+    * 8-byte xxhash step per seed instead of re-reading the string per
+    * seed. Measured on dd03's signature stage at sf0.1: 64 seeded mins
+    * over ~5M shingle rows dropped ~2× (BENCH/BASELINE.md round 6).
+    * Still the textbook hash-once-derive-many universal family; minhash
+    * VALUES differ from the identity-prepare variant (fine — the
+    * approximation contract is distributional, and the exact twins ride
+    * the Md5 family), recall is floored by PipelineSpec either way.
     */
   case object XxHash64 extends HashFamily {
-    override def prepare(value: Column): Column = value
+    override def prepare(value: Column): Column = xxhash64(value)
     override def hashPrepared(prepared: Column, seed: Column): Column =
       xxhash64(prepared, seed)
     override def bitSource(value: Column): Column = xxhash64(value)

@@ -37,7 +37,7 @@ object Recall {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, tau: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("jid"),
-      explode(Dedup.shingles(Dedup.tokens(col(textCol)), shingleK)).as("sh"))
+      explode(Dedup.shingleSet(col(textCol), shingleK)).as("sh"))
     val support = sh.select(col("jid").as("id_a"), col("sh"))
       .join(sh.select(col("jid").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FastShingles (the fused byte-scan) must reproduce the Catalyst
+  * tokens→shingles composition EXACTLY — the composition stays in
+  * `Dedup.shingles`/`Dedup.tokens` as the executable spec, the scan is
+  * the hot path (the composition's higher-order functions are
+  * interpreted; BENCH/BASELINE.md round-6). Alphabet dense in
+  * separators, underscores, case flips and non-ASCII (é, the Kelvin
+  * sign, an emoji) so the ASCII gate and the fallback both get hit; the
+  * ordered array equality also pins array_distinct's first-occurrence
+  * order and the below-k whole-join branch (including empty text).
+  */
+class FastShinglesSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def check(cases: Seq[String], k: Int): Unit = {
+    val df = cases.toDF("text")
+    val got = df.select(Dedup.shingleSet(col("text"), k)).as[Seq[String]].collect().toSeq
+    val want = df.select(Dedup.shingles(Dedup.tokens(col("text")), k))
+      .as[Seq[String]].collect().toSeq
+    got.lazyZip(want).lazyZip(cases).foreach { (g, w, c) =>
+      assert(g == w, s"k=$k text=<$c>")
+    }
+  }
+
+  test("fastShingles equals the composition on adversarial strings, k in 1..5") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab AB_12 .,;|-éK🙂\n\t% "
+    val random = (0 until 3000).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "...", "one", "one two", "one two three",
+      "a a a a a", "x_1 x_1 x_1 y", "é K upper TEST lower",
+      "AAA bbb AAA bbb AAA", "0 1 2 3 4 5 6 7 8 9")
+    for (k <- Seq(1, 2, 3, 5)) check(random ++ edges, k)
+  }
+
+  test("fastShingles equals the composition on every fixture document text") {
+    import graft.fixtures.SyntheticCorpus
+    val texts = SyntheticCorpus.docsLocal(40).map(d =>
+      d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
+    check(texts, 3)
+  }
+}
