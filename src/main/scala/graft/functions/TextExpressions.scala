@@ -147,23 +147,53 @@ case class FastShingles(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "fast_shingles"
 }
 
+/** Fused word tokenizer — value-identical to the Catalyst composition
+  *
+  *   filter(split(lower(trim(text)), "\\W+"), t => t =!= "")
+  *
+  * (`Dedup.tokens`, the executable spec) as ONE byte scan: ordered,
+  * duplicates kept, all lengths — the multiset contract SimHash votes
+  * and repetition/vocab counts need (unlike [[FastTerms]], which dedups
+  * and drops single-char tokens). Same ASCII gate + regex fallback as
+  * [[FastShingles]] and the same safety argument: `\W` is ASCII-only, so
+  * word runs never span a multi-byte codepoint, and the one divergence
+  * (exotic uppercase whose LOWERCASE contains ASCII word chars, e.g. the
+  * Kelvin sign → k) is exactly what the high-bit gate routes to the
+  * fallback. Property-tested against the composition in FastShinglesSpec.
+  */
+case class FastTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.fastTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.fastTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fast_tokens"
+}
+
 object ShingleOps {
 
   private def isWord(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b == '_'
 
-  /** static codegen target; see [[FastShingles]]. */
-  def fastShingles(s: UTF8String, k: Int): ArrayData = {
-    val bytes = s.getBytes
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) < 0) return slowShingles(s, k); i += 1 }
-
-    // tokenize: maximal word runs, ASCII-lowercased in place, ALL kept
-    // (order + duplicates — unlike fastTerms, which dedups and drops
-    // single-char tokens)
+  /** tokenize: maximal word runs, ASCII-lowercased in place, ALL kept
+    * (order + duplicates — unlike fastTerms, which dedups and drops
+    * single-char tokens). ASCII-only input; callers gate on high bits.
+    */
+  private def tokenizeAscii(
+      bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Array[Byte]] = {
     val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    i = 0
+    var i = 0
     val n = bytes.length
     while (i < n) {
       while (i < n && !isWord(bytes(i))) i += 1
@@ -179,7 +209,35 @@ object ShingleOps {
         toks += t
       }
     }
-    joinWindows(toks, k)
+    toks
+  }
+
+  /** static codegen target; see [[FastShingles]]. */
+  def fastShingles(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return slowShingles(s, k); i += 1 }
+    joinWindows(tokenizeAscii(bytes), k)
+  }
+
+  /** static codegen target; see [[FastTokens]]. */
+  def fastTokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return slowTokens(s); i += 1 }
+    val toks = tokenizeAscii(bytes)
+    val arr = new Array[Any](toks.length)
+    i = 0
+    while (i < toks.length) { arr(i) = UTF8String.fromBytes(toks(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** non-ASCII fallback for [[fastTokens]]: Spark-semantics trim + lower,
+    * the defining regex split, empties dropped.
+    */
+  private def slowTokens(s: UTF8String): ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\W+", -1).filter(_.nonEmpty)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
   }
 
   private def joinBytes(toks: scala.collection.mutable.ArrayBuffer[Array[Byte]],

@@ -45,6 +45,17 @@ object Dedup {
       graft.functions.FastShingles(
         org.apache.spark.sql.graft.ColumnShim.expression(text), k))
 
+  /** Fused text→token multiset (ordered, duplicates kept) — value-
+    * identical to `tokens(text)` as one codegen'd byte scan; the
+    * composition above stays as the executable spec and FastShinglesSpec
+    * pins their equality. Every token-multiset consumer (SimHash votes,
+    * repetition n-grams, vocab counts) goes through here.
+    */
+  def tokenSeq(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.FastTokens(
+        org.apache.spark.sql.graft.ColumnShim.expression(text)))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup via content hash: per-row group id, group size and the
@@ -217,7 +228,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
     val tok = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("t"))
+      explode(tokenSeq(col(textCol))).as("t"))
       .withColumn("h", family.bitSource(col("t")))
     val votes = (0 until 64).map { j =>
       sum(when(family.bitAt(col("h"), j) === 1L, 1)

@@ -146,7 +146,7 @@ object TextAnalysis {
     // pair per n (4× the input reads at 100 TB for the same rows)
     val Ns = Seq(1, 2, 3, 5)
     val tagged = docs
-      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), Dedup.tokenSeq(col(textCol)).as("tk"))
       .select(col(idCol), explode(flatten(array(Ns.map(n =>
         transform(ngrams(col("tk"), n),
           g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
@@ -184,7 +184,7 @@ object TextAnalysis {
     * global-top-k operator is PlanSpec-asserted to keep.
     */
   def vocabTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tok = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("token"))
+    val tok = docs.select(col(idCol), explode(Dedup.tokenSeq(col(textCol))).as("token"))
     tok.groupBy(col("token"))
       .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
       .orderBy(col("cf").desc, col("token").asc)

@@ -41,6 +41,32 @@ class FastShinglesSpec extends AnyFunSuite {
     for (k <- Seq(1, 2, 3, 5)) check(random ++ edges, k)
   }
 
+  test("fastTokens equals the composition on adversarial strings") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab AB_12 .,;|-éK🙂\n\t% "
+    val random = (0 until 3000).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "...", "one", "one two", "a a a a a",
+      "x_1 x_1 y", "é K upper TEST lower", "İstanbul K-9")
+    val cases = random ++ edges
+    val df = cases.toDF("text")
+    val got = df.select(Dedup.tokenSeq(col("text"))).as[Seq[String]].collect().toSeq
+    val want = df.select(Dedup.tokens(col("text"))).as[Seq[String]].collect().toSeq
+    got.lazyZip(want).lazyZip(cases).foreach { (g, w, c) =>
+      assert(g == w, s"text=<$c>")
+    }
+  }
+
+  test("fastTokens equals the composition on every fixture document text") {
+    import graft.fixtures.SyntheticCorpus
+    val texts = SyntheticCorpus.docsLocal(40).map(d =>
+      d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
+    val df = texts.toDF("text")
+    val got = df.select(Dedup.tokenSeq(col("text"))).as[Seq[String]].collect().toSeq
+    val want = df.select(Dedup.tokens(col("text"))).as[Seq[String]].collect().toSeq
+    got.lazyZip(want).foreach { (g, w) => assert(g == w) }
+  }
+
   test("fastShingles equals the composition on every fixture document text") {
     import graft.fixtures.SyntheticCorpus
     val texts = SyntheticCorpus.docsLocal(40).map(d =>
