@@ -49,5 +49,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))
     }
+    inject("fast_terms", "fast_terms(text) - distinct lowercased len>1 word runs (FTS tokenizer)") {
+      exprs => FastTerms(exprs.head)
+    }
+    inject("fast_tokens", "fast_tokens(text) - ordered word-token multiset (dedup tokenizer)") {
+      exprs => FastTokens(exprs.head)
+    }
+    inject("fast_shingles", "fast_shingles(text, k) - distinct k-word shingles; k a literal int") {
+      exprs => FastShingles(exprs.head, litInt(exprs(1), "fast_shingles", "k"))
+    }
+  }
+
+  /** SQL surface of a constructor-Int parameter: the argument must fold
+    * to a non-null INT literal at plan time (a column-valued k would
+    * need a per-row windowing expression — not this operator's contract).
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    // the builder can see unresolved children, whose foldable/dataType
+    // throw — any such argument is equally not a literal INT
+    val v = try {
+      if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType) e.eval()
+      else null
+    } catch { case _: Exception => null }
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn($arg) requires a literal INT, got ${e.simpleString(100)}")
+    v.asInstanceOf[Int]
   }
 }

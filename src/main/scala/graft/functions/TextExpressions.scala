@@ -294,6 +294,8 @@ object TextExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("fast_terms",
       exprs => FastTerms(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("fast_tokens",
+      exprs => FastTokens(exprs.head), "built-in")
     registeredIn = spark
   }
 

@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all seven functions; SQL evaluates them under CODEGEN_ONLY") {
+  test("GraftExtensions injects all ten functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
@@ -31,7 +31,10 @@ class ExtensionsSpec extends AnyFunSuite {
         |  url_host('http://x.onion/p') AS host,
         |  url_path('http://x.onion/p?q=1') AS path,
         |  length(url_fingerprint('http://x.onion/')) AS fplen,
-        |  fnv1a64('http://x.onion/') AS fnv
+        |  fnv1a64('http://x.onion/') AS fnv,
+        |  fast_terms('The THE cat c') AS terms,
+        |  fast_tokens('The THE cat c') AS toks,
+        |  fast_shingles('one Two three', 2) AS sh
         |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
     finally prev match {
@@ -43,6 +46,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(2) == "/p")
     assert(r.getInt(3) == 40)
     assert(r.getLong(4) == graft.url.Hashing.fnv1a64("http://x.onion/"))
+    assert(r.getSeq[String](5) == Seq("the", "cat"))
+    assert(r.getSeq[String](6) == Seq("the", "the", "cat", "c"))
+    assert(r.getSeq[String](7) == Seq("one two", "two three"))
+
+    // non-literal k must be an analysis-time error, not a wrong answer
+    val err = intercept[Exception] {
+      spark.sql("SELECT fast_shingles('a b c', v) FROM (SELECT 2 AS v)").collect()
+    }
+    assert(err.getMessage.contains("literal INT"), err.getMessage)
 
     // might_contain probes are BIGINT-only (string-built filters are
     // probed via the sketch API driver/executor-side instead)
