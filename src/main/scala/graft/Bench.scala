@@ -53,6 +53,12 @@ object Bench {
       // executors idled. Cap the string and use the cheap mode.
       .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.sql.ui.explainMode", "simple")
+      // GRAFT_IO_CODEC: shuffle/broadcast/spill codec A/B knob. The crawl
+      // regime is memory-bandwidth-bound at high core counts (ladder
+      // attribution in BENCH/BASELINE.md) — a denser codec trades ALU for
+      // bytes through the memory system, the scarce resource there.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

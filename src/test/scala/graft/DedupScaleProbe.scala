@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup scaling probe: `Test/runMain graft.DedupScaleProbe <nHosts> <reps>`
+  * with `SPARK_GRAFT_CPUS` setting the thread count — MinHash-LSH
+  * near-dup throughput over the engine's own synthetic corpus (the same
+  * fixture machinery the crawl bench uses), at a scale where the work
+  * dwarfs fixed per-job cost. The sf0.1 headline queries are 1–3 s jobs
+  * that sit at their latency FLOOR at 32 threads (measured flat 8→32 —
+  * BENCH/BASELINE.md round-6), so query-side scaling evidence needs a
+  * work-rich input; this is it. The input is persisted and materialized
+  * OUTSIDE the timed region so the number is the dedup pipeline, not
+  * corpus generation. Prints docs, min wall, docs/sec per rep set.
+  */
+object DedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nHosts = args(0).toLong
+    val reps = args(1).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.fixtures.SyntheticCorpus.docsDF(spark, nHosts)
+      .select(col("doc_id"),
+        concat_ws("\n", transform(
+          filter(col("spans"), s => s.getField("kind") === "text"),
+          s => s.getField("text"))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+    def run(): Long =
+      graft.pipeline.Dedup.minhashNearDups(docs, "doc_id", "text", tau = 0.5).count()
+    run() // warm
+    val times = (1 to reps).map { _ =>
+      val c0 = procCpuSec(); val t0 = System.nanoTime()
+      run()
+      ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0)
+    }
+    val best = times.minBy(_._1)
+    println(f"DSCALE cpus=$cpus%s hosts=$nHosts%d docs=$nDocs%d " +
+      f"minWall=${best._1}%.2f cpuAtMin=${best._2}%.1f docsPerSec=${nDocs / best._1}%.0f " +
+      f"all=[${times.map(t => f"${t._1}%.2f").mkString(", ")}]")
+  }
+}
