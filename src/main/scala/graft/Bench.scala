@@ -122,7 +122,14 @@ object Bench {
     val qtimes = qtimes0 :+ ("dd03_minhash_xx64" -> timeQuery(() =>
       graft.pipeline.Dedup.minhashNearDups(
         graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
-        tau = 0.3).count()))
+        tau = 0.3).count())) :+
+      // dd04's queries entry is likewise the Md5 oracle parameterization;
+      // the production xx64 family runs the fused SimHash64 expression
+      // (zero explode/aggregate — see Dedup.simhash scaladoc).
+      ("dd04_simhash_xx64" -> timeQuery(() =>
+        graft.pipeline.Dedup.simhashNearDups(
+          graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+          maxHamming = 8).count()))
 
     // ---- approximate-operator quality (round-6): measured recall of the
     // production-family (xxhash64) approximations vs their exact twins at

@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("fast_shingles", "fast_shingles(text, k) - distinct k-word shingles; k a literal int") {
       exprs => FastShingles(exprs.head, litInt(exprs(1), "fast_shingles", "k"))
     }
+    inject("simhash64", "simhash64(text) - fused 64-bit token SimHash (xxhash64 bit source); null when no tokens") {
+      exprs => SimHash64(exprs.head)
+    }
   }
 
   /** SQL surface of a constructor-Int parameter: the argument must fold

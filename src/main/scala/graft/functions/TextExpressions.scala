@@ -286,6 +286,131 @@ object ShingleOps {
   }
 }
 
+/** Fused 64-bit SimHash for the xxhash64 (production) family — value-
+  * identical to the Catalyst composition in `Dedup.simhashComposed`:
+  *
+  *   explode(fast_tokens(text)) → h = xxhash64(t)
+  *   → 64 sums of (bit j of h == 1 ? +1 : -1) grouped by doc
+  *   → bit j of the signature = (sum_j > 0)
+  *
+  * as ONE byte scan per document: tokenize maximal ASCII word-char runs
+  * (same gate + non-ASCII regex fallback as [[FastTokens]] — the token
+  * multiset is identical by FastShinglesSpec), hash each token's
+  * lowercased bytes into a reused scratch buffer with the same
+  * `XXH64.hashUTF8String`/seed-42 function `xxhash64` uses, accumulate
+  * the 64 vote counters, pack the sign bits. The composition's cost is
+  * structural, not arithmetic: explode materializes one row per token
+  * and the 64-sum aggregate shuffles per-doc partials, while this is a
+  * per-row projection inside whole-stage codegen with zero exchanges.
+  *
+  * Returns NULL when the document has no tokens — the composition's
+  * explode drops such documents, so callers filter `isNotNull` to keep
+  * the row set identical (pinned by FastShinglesSpec).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashOps.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("simhash")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SimHashOps.simhash64($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHashOps {
+
+  private def isWord(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** `xxhash64(col)`'s default seed (Spark's `functions.xxhash64` builds
+    * `XxHash64(_, 42)`); the composition hashes each token with it.
+    */
+  private val Seed = 42L
+
+  private def vote(votes: Array[Int], h: Long): Unit = {
+    var j = 0
+    while (j < 64) {
+      votes(j) += ((((h >>> j) & 1L).toInt) << 1) - 1
+      j += 1
+    }
+  }
+
+  private def pack(votes: Array[Int]): java.lang.Long = {
+    var acc = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) acc |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** static codegen target; see [[SimHash64]]. Null = no tokens. */
+  def simhash64(s: UTF8String): java.lang.Long = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return slowSimhash(s); i += 1 }
+
+    val votes = new Array[Int](64)
+    var buf = new Array[Byte](32)
+    var any = false
+    val n = bytes.length
+    i = 0
+    while (i < n) {
+      while (i < n && !isWord(bytes(i))) i += 1
+      val start = i
+      while (i < n && isWord(bytes(i))) i += 1
+      if (i > start) {
+        any = true
+        val len = i - start
+        if (len > buf.length) buf = new Array[Byte](math.max(len, buf.length * 2))
+        var j = 0
+        while (j < len) {
+          val b = bytes(start + j)
+          buf(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          j += 1
+        }
+        vote(votes, org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      }
+    }
+    if (!any) null else pack(votes)
+  }
+
+  /** non-ASCII fallback: [[ShingleOps]]' slow tokenization semantics
+    * (Spark trim + lower + the defining regex split), each token hashed
+    * exactly as `xxhash64` hashes a string.
+    */
+  private def slowSimhash(s: UTF8String): java.lang.Long = {
+    val toks = s.trim().toLowerCase.toString.split("\\W+", -1).filter(_.nonEmpty)
+    if (toks.isEmpty) return null
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      vote(votes, org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        UTF8String.fromString(t), Seed))
+    }
+    pack(votes)
+  }
+}
+
 object TextExpressions {
 
   @volatile private var registeredIn: SparkSession = _

@@ -221,12 +221,34 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash: per token-hash bit votes (+1/-1), sign of the vote
-    * sum becomes the bit. One exploded pass, 64 sum aggregates. The bit
-    * source is the injectable [[HashFamily]] (xxhash64 default; Md5 for
-    * the DuckDB-twinned CORRECTNESS dd04).
+    * sum becomes the bit. The bit source is the injectable
+    * [[HashFamily]] (xxhash64 default; Md5 for the DuckDB-twinned
+    * CORRECTNESS dd04).
+    *
+    * The production xx64 family runs the fused
+    * [[graft.functions.SimHash64]] expression — the whole signature is
+    * one codegen'd byte scan per document, zero explode rows and zero
+    * aggregate exchanges; documents with no tokens drop exactly like the
+    * composition's explode drops them (the expression returns null).
+    * Other families take [[simhashComposed]], which is also the
+    * executable spec FastShinglesSpec pins the fused path against.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
+    if (family == HashFamily.XxHash64) {
+      docs.select(col(idCol),
+          org.apache.spark.sql.graft.ColumnShim.column(
+            graft.functions.SimHash64(
+              org.apache.spark.sql.graft.ColumnShim.expression(col(textCol))))
+            .as("simhash"))
+        .filter(col("simhash").isNotNull)
+    } else simhashComposed(docs, idCol, textCol, family)
+
+  /** the defining composition (see [[simhash]]): one exploded pass,
+    * 64 sum aggregates.
+    */
+  private[graft] def simhashComposed(docs: DataFrame, idCol: String,
+      textCol: String, family: HashFamily): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokenSeq(col(textCol))).as("t"))
       .withColumn("h", family.bitSource(col("t")))
@@ -375,8 +397,15 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      family: HashFamily = HashFamily.XxHash64): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol, family)
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
+    simhashPairs(simhash(docs, idCol, textCol, family), idCol, maxHamming)
+
+  /** the block-and-verify pair stage of [[simhashNearDups]], split out so
+    * signature-stage variants (fused vs composed — QProbe's A/B) share it
+    * verbatim. Input: `(idCol, simhash)`.
+    */
+  private[graft] def simhashPairs(
+      sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val chunked = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))

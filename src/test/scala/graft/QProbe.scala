@@ -67,6 +67,19 @@ object QProbe {
             .orderBy(col("id_a"), col("id_b"))
             .count()
         }
+        case "dd04_xx64" => () =>
+          // production family: the fused SimHash64 signature stage
+          graft.pipeline.Dedup.simhashNearDups(
+            graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+            maxHamming = 8).count()
+        case "dd04_xx64_composed" => () =>
+          // A/B twin: identical pair stage, signature stage forced through
+          // the exploded-votes composition (the executable spec)
+          graft.pipeline.Dedup.simhashPairs(
+            graft.pipeline.Dedup.simhashComposed(
+              graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+              graft.pipeline.HashFamily.XxHash64),
+            "doc_id", maxHamming = 8).count()
         case n => () => SparkEntry.queries(n)(spark, sfDir).count()
       }
       run()

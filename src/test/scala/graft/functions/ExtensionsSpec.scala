@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all ten functions; SQL evaluates them under CODEGEN_ONLY") {
+  test("GraftExtensions injects all eleven functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
@@ -34,7 +34,9 @@ class ExtensionsSpec extends AnyFunSuite {
         |  fnv1a64('http://x.onion/') AS fnv,
         |  fast_terms('The THE cat c') AS terms,
         |  fast_tokens('The THE cat c') AS toks,
-        |  fast_shingles('one Two three', 2) AS sh
+        |  fast_shingles('one Two three', 2) AS sh,
+        |  simhash64('one Two three') AS sim,
+        |  simhash64('.,;') AS sim_none
         |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
     finally prev match {
@@ -49,6 +51,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](5) == Seq("the", "cat"))
     assert(r.getSeq[String](6) == Seq("the", "the", "cat", "c"))
     assert(r.getSeq[String](7) == Seq("one two", "two three"))
+    assert(r.getLong(8) == SimHashOps.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("one Two three")).longValue())
+    assert(r.isNullAt(9)) // no tokens → null, mirroring the explode-drop
 
     // non-literal k must be an analysis-time error, not a wrong answer
     val err = intercept[Exception] {

@@ -73,4 +73,43 @@ class FastShinglesSpec extends AnyFunSuite {
       d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
     check(texts, 3)
   }
+
+  /** the fused SimHash64 expression vs the exploded-votes composition,
+    * ROW SET included: the composition's explode drops no-token docs,
+    * the fused path drops them via null — the joined comparison must
+    * cover every id from both sides.
+    */
+  private def checkSimhash(cases: Seq[String]): Unit = {
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val want = Dedup.simhashComposed(df, "doc_id", "text",
+        graft.pipeline.HashFamily.XxHash64)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == want.keySet,
+      s"row sets differ: only-fused=${(got.keySet -- want.keySet).take(5)} " +
+        s"only-composed=${(want.keySet -- got.keySet).take(5)}")
+    got.foreach { case (id, h) =>
+      assert(h == want(id), s"doc_id=$id text=<${cases(id.toInt)}>")
+    }
+  }
+
+  test("fused SimHash64 equals the exploded-votes composition on adversarial strings") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab AB_12 .,;|-éK🙂\n\t% "
+    val random = (0 until 3000).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "...", "\t\n", "one", "one two", "a a a a a",
+      "x_1 x_1 y", "é K upper TEST lower", "İstanbul K-9", "🙂🙂", "é",
+      ("tok " * 200).trim)
+    checkSimhash(random ++ edges)
+  }
+
+  test("fused SimHash64 equals the composition on every fixture document text") {
+    import graft.fixtures.SyntheticCorpus
+    val texts = SyntheticCorpus.docsLocal(40).map(d =>
+      d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
+    checkSimhash(texts)
+  }
 }
