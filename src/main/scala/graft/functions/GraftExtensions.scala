@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", "simhash64(text) - fused 64-bit token SimHash (xxhash64 bit source); null when no tokens") {
       exprs => SimHash64(exprs.head)
     }
+    inject("minhash_sigs", "minhash_sigs(text, k, n) - fused n-slot MinHash signature over k-shingles; k, n literal ints") {
+      exprs => MinHashSigs(exprs.head,
+        litInt(exprs(1), "minhash_sigs", "k"), litInt(exprs(2), "minhash_sigs", "n"))
+    }
   }
 
   /** SQL surface of a constructor-Int parameter: the argument must fold

@@ -182,7 +182,7 @@ case class FastTokens(child: Expression) extends UnaryExpression {
 
 object ShingleOps {
 
-  private def isWord(b: Byte): Boolean =
+  private[functions] def isWord(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b == '_'
 
@@ -190,7 +190,7 @@ object ShingleOps {
     * (order + duplicates — unlike fastTerms, which dedups and drops
     * single-char tokens). ASCII-only input; callers gate on high bits.
     */
-  private def tokenizeAscii(
+  private[functions] def tokenizeAscii(
       bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Array[Byte]] = {
     val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var i = 0
@@ -283,6 +283,131 @@ object ShingleOps {
     val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]](toksS.length)
     toksS.foreach(t => toks += t.getBytes("UTF-8"))
     joinWindows(toks, k)
+  }
+}
+
+/** Fused MinHash signature for the xxhash64 (production) family —
+  * value-identical to the Catalyst composition in
+  * `Dedup.minhashSignaturesComposed`:
+  *
+  *   explode(fast_shingles(text, k)) → hp = xxhash64(shingle)
+  *   → numHashes mins of xxhash64(hp, j) grouped by doc
+  *   → array(min_0 .. min_{n-1})
+  *
+  * as ONE byte scan per document. Tokenize (same ASCII gate + regex
+  * fallback as [[FastShingles]]), join each k-window into a reused
+  * scratch buffer (no per-window allocation), hash it with the same
+  * `XXH64`/seed-42 chain the composition's `xxhash64(sh)` →
+  * `xxhash64(hp, j)` pair computes — hp = XXH64(bytes, 42), then
+  * rank_j = hashInt(j, hashLong(hp, 42)) — and fold the running minima.
+  * The composition's first-occurrence-distinct shingle SET is skipped
+  * on purpose: a min over the multiset equals the min over the set, so
+  * duplicate windows can't change any signature slot (the equality
+  * property in FastShinglesSpec pins this). Like [[SimHash64]], the win
+  * is structural: the composition materializes one row per shingle and
+  * exchanges per-doc partial minima, while this is a per-row projection
+  * inside whole-stage codegen with zero exchanges.
+  *
+  * Below k tokens the single shingle is the whole token list joined
+  * (including the empty string for an empty document), matching
+  * `fast_shingles` — so every non-null document yields a signature, the
+  * same row set as the composition's explode (never empty).
+  */
+case class MinHashSigs(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else if (numHashes < 1 || numHashes > 1024)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numHashes in [1, 1024], got $numHashes")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.minhashSigs(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashOps.minhashSigs($c, $k, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sigs"
+}
+
+object MinHashOps {
+
+  private val Seed = 42L
+
+  /** the composition's per-(shingle-hash, seed) rank chain — see
+    * [[MinHashSigs]] scaladoc.
+    */
+  private def foldMins(mins: Array[Long], hp: Long): Unit = {
+    val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(hp, Seed)
+    var j = 0
+    while (j < mins.length) {
+      val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
+      if (v < mins(j)) mins(j) = v
+      j += 1
+    }
+  }
+
+  /** static codegen target; see [[MinHashSigs]]. */
+  def minhashSigs(s: UTF8String, k: Int, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) return slowSigs(s, k, n); i += 1 }
+
+    val toks = ShingleOps.tokenizeAscii(bytes)
+    val mins = Array.fill(n)(Long.MaxValue)
+    var buf = new Array[Byte](64)
+
+    // join toks[from, until) with single spaces into buf, hash, fold
+    def window(from: Int, until: Int): Unit = {
+      var len = 0
+      var t = from
+      while (t < until) { len += toks(t).length; t += 1 }
+      if (until > from) len += until - from - 1
+      if (len > buf.length) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      t = from
+      while (t < until) {
+        if (t > from) { buf(pos) = ' '; pos += 1 }
+        System.arraycopy(toks(t), 0, buf, pos, toks(t).length)
+        pos += toks(t).length
+        t += 1
+      }
+      foldMins(mins, org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed))
+    }
+
+    if (toks.length < k) window(0, toks.length)
+    else {
+      var w = 0
+      while (w <= toks.length - k) { window(w, w + k); w += 1 }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** non-ASCII fallback: [[ShingleOps]]' slow tokenization semantics,
+    * each window joined as a String and hashed exactly as `xxhash64`
+    * hashes a string.
+    */
+  private def slowSigs(s: UTF8String, k: Int, n: Int): ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\W+", -1).filter(_.nonEmpty)
+    val mins = Array.fill(n)(Long.MaxValue)
+    def window(sh: String): Unit =
+      foldMins(mins, org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        UTF8String.fromString(sh), Seed))
+    if (toks.length < k) window(toks.mkString(" "))
+    else (0 to toks.length - k).foreach(w => window(toks.slice(w, w + k).mkString(" ")))
+    new GenericArrayData(mins)
   }
 }
 

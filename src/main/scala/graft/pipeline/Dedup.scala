@@ -82,15 +82,45 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signatures: numHashes permutations approximated by seeded
-    * hashes over each shingle; signature[j] = min_j. Single exploded
-    * pass, `numHashes` partial-agg mins. The hash family is injectable
-    * ([[HashFamily]]): xxhash64 in production, seeded-md5 when an
-    * external oracle must recompute the signatures value-for-value.
+    * hashes over each shingle; signature[j] = min_j. The hash family is
+    * injectable ([[HashFamily]]): xxhash64 in production, seeded-md5
+    * when an external oracle must recompute the signatures
+    * value-for-value.
+    *
+    * The production xx64 family runs the fused
+    * [[graft.functions.MinHashSigs]] expression — the whole signature
+    * is one codegen'd byte scan per document, zero shingle-explode rows
+    * and zero aggregate exchanges (null-text docs drop exactly like the
+    * composition's explode drops them). Other families take
+    * [[minhashSignaturesComposed]], which is also the executable spec
+    * FastShinglesSpec pins the fused path against.
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64,
-      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
+    if (family == HashFamily.XxHash64) {
+      // MinHashSigs is null iff its input is — every non-null doc has ≥1
+      // shingle (below k tokens the whole joined list, possibly "") — so
+      // the null gate is the INPUT filter, which pushes down to the scan
+      // (isnotnull over the expression would evaluate the kernel twice:
+      // once in Filter, once in Project)
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          org.apache.spark.sql.graft.ColumnShim.column(
+            graft.functions.MinHashSigs(
+              org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)),
+              shingleK, numHashes))
+            .as("minhash"))
+    } else minhashSignaturesComposed(docs, idCol, textCol, shingleK, numHashes, family)
+
+  /** the defining composition (see [[minhashSignatures]]): single
+    * exploded pass, `numHashes` partial-agg mins.
+    */
+  private[graft] def minhashSignaturesComposed(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int,
+      family: HashFamily): DataFrame = {
     // Md5's no-overflow invariant caps usable seeds (HashFamily.MaxSeed)
     require(family != HashFamily.Md5 || numHashes <= HashFamily.Md5.MaxSeed + 1,
       s"Md5 family supports at most ${HashFamily.Md5.MaxSeed + 1} permutations")
@@ -236,12 +266,22 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       family: HashFamily = HashFamily.XxHash64): DataFrame =
     if (family == HashFamily.XxHash64) {
-      docs.select(col(idCol),
+      // the no-token drop is an INPUT-ONLY predicate, not
+      // isnotnull(simhash64(text)): Catalyst pushes a result-null filter
+      // below the projection and evaluates the kernel twice (once in
+      // Filter, once in Project). A token exists iff the LOWERCASED text
+      // contains an ASCII word char (`\W` is ASCII-only; lowercasing
+      // first covers the exotic-uppercase fallback, e.g. Kelvin sign → k)
+      // — exactly when SimHash64 is non-null, so the row set still
+      // matches the composition's explode-drop (FastShinglesSpec pins
+      // it). rlike early-exits on the first word char; a null text
+      // yields null → filtered, matching nullIntolerant.
+      docs.filter(lower(col(textCol)).rlike("\\w"))
+        .select(col(idCol),
           org.apache.spark.sql.graft.ColumnShim.column(
             graft.functions.SimHash64(
               org.apache.spark.sql.graft.ColumnShim.expression(col(textCol))))
             .as("simhash"))
-        .filter(col("simhash").isNotNull)
     } else simhashComposed(docs, idCol, textCol, family)
 
   /** the defining composition (see [[simhash]]): one exploded pass,

@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all eleven functions; SQL evaluates them under CODEGEN_ONLY") {
+  test("GraftExtensions injects all twelve functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
@@ -36,7 +36,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  fast_tokens('The THE cat c') AS toks,
         |  fast_shingles('one Two three', 2) AS sh,
         |  simhash64('one Two three') AS sim,
-        |  simhash64('.,;') AS sim_none
+        |  simhash64('.,;') AS sim_none,
+        |  minhash_sigs('one Two three', 2, 4) AS mh
         |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
     finally prev match {
@@ -54,6 +55,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(8) == SimHashOps.simhash64(
       org.apache.spark.unsafe.types.UTF8String.fromString("one Two three")).longValue())
     assert(r.isNullAt(9)) // no tokens → null, mirroring the explode-drop
+    assert(r.getSeq[Long](10) == MinHashOps.minhashSigs(
+      org.apache.spark.unsafe.types.UTF8String.fromString("one Two three"), 2, 4)
+      .toLongArray().toSeq)
 
     // non-literal k must be an analysis-time error, not a wrong answer
     val err = intercept[Exception] {

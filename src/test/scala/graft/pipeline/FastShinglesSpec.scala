@@ -112,4 +112,41 @@ class FastShinglesSpec extends AnyFunSuite {
       d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
     checkSimhash(texts)
   }
+
+  /** the fused MinHashSigs expression vs the exploded-mins composition:
+    * full signature arrays, value for value (this also pins the fused
+    * kernel's skip-the-distinct-set shortcut — a min over the shingle
+    * multiset equals the min over the set).
+    */
+  private def checkMinhash(cases: Seq[String], k: Int, n: Int): Unit = {
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashSignatures(df, "doc_id", "text", k, n)
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = Dedup.minhashSignaturesComposed(df, "doc_id", "text", k, n,
+        graft.pipeline.HashFamily.XxHash64)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, sig) =>
+      assert(sig == want(id), s"k=$k n=$n doc_id=$id text=<${cases(id.toInt)}>")
+    }
+  }
+
+  test("fused MinHashSigs equals the exploded-mins composition on adversarial strings") {
+    val rnd = new scala.util.Random(17)
+    val alphabet = "ab AB_12 .,;|-éK🙂\n\t% "
+    val random = (0 until 2000).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "...", "one", "one two", "one two three",
+      "a a a a a", "x_1 x_1 x_1 y", "é K upper TEST lower",
+      "AAA bbb AAA bbb AAA", ("tok " * 200).trim)
+    for ((k, n) <- Seq((3, 64), (1, 8), (5, 16))) checkMinhash(random ++ edges, k, n)
+  }
+
+  test("fused MinHashSigs equals the composition on every fixture document text") {
+    import graft.fixtures.SyntheticCorpus
+    val texts = SyntheticCorpus.docsLocal(40).map(d =>
+      d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
+    checkMinhash(texts, 3, 64)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{SparkEntry, SparkTestSession}
 import graft.frontier.Politeness
 import graft.model.CrawlConfig
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, HashFamily}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -70,13 +70,48 @@ class PlanSpec extends AnyFunSuite {
     assert("row_number".r.findAllIn(p).size >= 2, "expected two ranking phases")
   }
 
-  test("minhash signatures: one partial+final hash aggregate, no collect") {
+  test("minhash signatures (xx64): pure projection, zero exchanges/aggregates") {
+    // the fused MinHashSigs expression makes the whole signature stage a
+    // per-row projection off the scan — no shingle explode, no 64-min
+    // aggregate, no exchange, and the null gate is the pushed-down
+    // IsNotNull(text) (NOT an isnotnull over the expression, which would
+    // evaluate the kernel twice: once in Filter, once in Project)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("minhash_sigs"), "fused expression missing from plan")
+    assert(!p.contains("Exchange"), "fused signature stage must not shuffle")
+    assert(!p.contains("HashAggregate"), "fused signature stage must not aggregate")
+    assert(!p.contains("Generate"), "fused signature stage must not explode")
+    assert("minhash_sigs".r.findAllIn(p).size <= 2, // Project + scan-schema echo
+      s"minhash_sigs evaluated more than once:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"),
+      "null gate should be the pushed-down input filter")
+    assert(!p.contains("CollectLimit"))
+  }
+
+  test("minhash signatures (Md5 oracle family): one partial+final hash aggregate") {
+    // the composition stays the executable spec + oracle path: exploded
+    // shingles, map-side-combined mins
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Dedup.minhashSignaturesComposed(docs, "doc_id", "text", 3, 8,
+        HashFamily.Md5)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_min") || p.contains("Partial"),
       "minhash mins not map-side partial")
     assert(!p.contains("CollectLimit"))
+  }
+
+  test("simhash signatures (xx64): pure projection, zero exchanges/aggregates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Dedup.simhash(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("simhash64"), "fused expression missing from plan")
+    assert(!p.contains("Exchange"), "fused signature stage must not shuffle")
+    assert(!p.contains("HashAggregate"), "fused signature stage must not aggregate")
+    assert(!p.contains("Generate"), "fused signature stage must not explode")
+    assert("simhash64\\(".r.findAllIn(p).size <= 2, // Project + one Filter echo
+      s"simhash64 evaluated more than twice:\n$p")
   }
 
   test("ANN final ranking is two-phase salted (no full-candidate window partition)") {
