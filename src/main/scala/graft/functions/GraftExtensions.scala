@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashSigs(exprs.head,
         litInt(exprs(1), "minhash_sigs", "k"), litInt(exprs(2), "minhash_sigs", "n"))
     }
+    inject("lsh_band_hashes", "lsh_band_hashes(sig, bands, r) - fused per-band LSH hashes of a BIGINT signature array; bands, r literal ints") {
+      exprs => LshBandHashes(exprs.head,
+        litInt(exprs(1), "lsh_band_hashes", "bands"), litInt(exprs(2), "lsh_band_hashes", "r"))
+    }
   }
 
   /** SQL surface of a constructor-Int parameter: the argument must fold

@@ -395,6 +395,50 @@ object MinHashOps {
     new GenericArrayData(mins)
   }
 
+  /** write `v`'s decimal representation (= `cast(v AS STRING)` =
+    * `java.lang.Long.toString`) into `buf` at `pos`; returns the new
+    * position. Digits are written backwards into a 20-byte tail then
+    * reversed in place — Long.MinValue included (negated per-digit via
+    * negative remainders).
+    */
+  private def longToAscii(buf: Array[Byte], pos: Int, v: Long): Int = {
+    var p = pos
+    if (v == 0) { buf(p) = '0'; return p + 1 }
+    var x = v
+    if (v < 0) { buf(p) = '-'; p += 1 } else x = -x // work in negatives: MinValue-safe
+    val start = p
+    while (x != 0) { buf(p) = ('0' - (x % 10)).toByte; x /= 10; p += 1 }
+    // digits came out least-significant first; reverse
+    var i = start; var j = p - 1
+    while (i < j) { val t = buf(i); buf(i) = buf(j); buf(j) = t; i += 1; j -= 1 }
+    p
+  }
+
+  /** static codegen target; see [[LshBandHashes]]. */
+  def lshBandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    // worst case per slot: '-' + 19 digits + ',' = 21 bytes
+    val buf = new Array[Byte](rowsPerBand * 21)
+    val out = new Array[Long](bands)
+    val len = sig.numElements()
+    var b = 0
+    while (b < bands) {
+      var pos = 0
+      var i = b * rowsPerBand
+      val end = math.min(len, i + rowsPerBand)
+      while (i < end) {
+        if (pos > 0) { buf(pos) = ','; pos += 1 }
+        pos = longToAscii(buf, pos, sig.getLong(i))
+        i += 1
+      }
+      val hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, Seed)
+      out(b) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(
+        b, org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(hp, Seed))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** non-ASCII fallback: [[ShingleOps]]' slow tokenization semantics,
     * each window joined as a String and hashed exactly as `xxhash64`
     * hashes a string.
@@ -409,6 +453,59 @@ object MinHashOps {
     else (0 to toks.length - k).foreach(w => window(toks.slice(w, w + k).mkString(" ")))
     new GenericArrayData(mins)
   }
+}
+
+/** Fused LSH band hashes for the xxhash64 (production) family —
+  * value-identical to the per-band Catalyst composition in
+  * `Dedup.lshBandsComposed`:
+  *
+  *   transform(sequence(0, bands-1), b =>
+  *     xxhash64(xxhash64(array_join(
+  *       transform(slice(sig, b*r+1, r), x => cast(x as string)), ",")), b))
+  *
+  * as ONE pass over the signature array. The composition's cost is pure
+  * interpretation: per band it runs four nested interpreted higher-order
+  * functions, casts each slot to a decimal string and joins them — all
+  * to feed a hash. The kernel writes the same comma-joined decimal bytes
+  * into a reused scratch buffer (manual long→ASCII, no String/byte[]
+  * allocations) and hashes with the same chain (`hp = XXH64(bytes, 42)`;
+  * `band_hash = hashInt(b, hashLong(hp, 42))`), so BAND-HASH VALUES ARE
+  * UNCHANGED — committed `dd_bands`/`dd_bands_bh` layouts, the streaming
+  * ingest and the bucket-pruned reads all stay bit-compatible, and
+  * FastShinglesSpec pins fused ≡ composed. Slice semantics replicated
+  * exactly, including ragged tails (a band window past the array end
+  * shortens; a fully-past window joins an empty slice = hash of "").
+  *
+  * Output: array of `bands` longs; `posexplode` in `Dedup.lshBands`
+  * turns it into the `(band, band_hash)` rows the bucket join needs —
+  * the explode survives (it IS the banding), only the per-band
+  * interpretation goes native.
+  */
+case class LshBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _)
+        if bands >= 1 && rowsPerBand >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bands >= 1 and rowsPerBand >= 1, got ($bands, $rowsPerBand)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.lshBandHashes(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashOps.lshBandHashes($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_band_hashes"
 }
 
 /** Fused 64-bit SimHash for the xxhash64 (production) family — value-

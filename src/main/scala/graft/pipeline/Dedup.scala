@@ -145,7 +145,28 @@ object Dedup {
   def lshBands(
       signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
-      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
+    if (family == HashFamily.XxHash64) {
+      // fused per-band kernel (graft.functions.LshBandHashes) — BAND-HASH
+      // VALUES UNCHANGED vs the composition (same comma-joined-decimal
+      // bytes, same hash chain), so committed dd_bands layouts stay
+      // bit-compatible; the posexplode survives because it IS the
+      // banding the bucket join consumes
+      signatures.select(
+        col(idCol),
+        posexplode(org.apache.spark.sql.graft.ColumnShim.column(
+          graft.functions.LshBandHashes(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("minhash")),
+            bands, rowsPerBand))).as(Seq("band", "band_hash")))
+    } else lshBandsComposed(signatures, idCol, bands, rowsPerBand, family)
+
+  /** the defining composition (see [[lshBands]]): four interpreted
+    * higher-order functions per band.
+    */
+  private[graft] def lshBandsComposed(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int,
+      family: HashFamily): DataFrame = {
     // the band index is the seed, and it's lambda-bound (not a literal),
     // so Md5's plan-time literal check can't see it — bound it here
     require(family != HashFamily.Md5 || bands <= HashFamily.Md5.MaxSeed + 1,

@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all twelve functions; SQL evaluates them under CODEGEN_ONLY") {
+  test("GraftExtensions injects all thirteen functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
@@ -37,7 +37,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  fast_shingles('one Two three', 2) AS sh,
         |  simhash64('one Two three') AS sim,
         |  simhash64('.,;') AS sim_none,
-        |  minhash_sigs('one Two three', 2, 4) AS mh
+        |  minhash_sigs('one Two three', 2, 4) AS mh,
+        |  lsh_band_hashes(array(1L, -2L, 3L, 4L), 2, 2) AS bh
         |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
     finally prev match {
@@ -58,6 +59,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](10) == MinHashOps.minhashSigs(
       org.apache.spark.unsafe.types.UTF8String.fromString("one Two three"), 2, 4)
       .toLongArray().toSeq)
+    assert(r.getSeq[Long](11) == MinHashOps.lshBandHashes(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](1L, -2L, 3L, 4L)), 2, 2).toLongArray().toSeq)
 
     // non-literal k must be an analysis-time error, not a wrong answer
     val err = intercept[Exception] {

@@ -149,4 +149,32 @@ class FastShinglesSpec extends AnyFunSuite {
       d.spans.filter(s => s.kind == "text" && s.text != null).map(_.text).mkString("\n"))
     checkMinhash(texts, 3, 64)
   }
+
+  /** the fused LshBandHashes expression vs the interpreted per-band
+    * composition — band-hash VALUES must be identical (committed
+    * dd_bands layouts depend on it). Signatures include the decimal
+    * edge cases the kernel's manual long→ASCII must match
+    * (0, ±1, Long.MinValue/MaxValue) and a ragged tail (signature
+    * shorter than bands·r, where slice shortens / empties).
+    */
+  test("fused LshBandHashes equals the per-band composition, values and rows") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue, 10L, -10L,
+      999999999999L, -100000000000L)
+    val sigs: Seq[Seq[Long]] =
+      (0 until 300).map(_ => Seq.fill(64)(rnd.nextLong())) ++
+        Seq(Seq.fill(64)(0L), edges ++ Seq.fill(55)(rnd.nextLong()),
+          Seq.fill(10)(rnd.nextLong()), // ragged: 10 < 16*4
+          edges.take(3))                // very ragged: most bands empty
+    for ((bands, r) <- Seq((16, 4), (8, 8), (4, 3))) {
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "minhash")
+      val got = Dedup.lshBands(df, "doc_id", bands, r)
+        .as[(Long, Int, Long)].collect().toSet
+      val want = Dedup.lshBandsComposed(df, "doc_id", bands, r,
+          graft.pipeline.HashFamily.XxHash64)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == want, s"bands=$bands r=$r")
+    }
+  }
 }
