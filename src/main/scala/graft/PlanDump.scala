@@ -112,6 +112,32 @@ object PlanDump {
       "CrawlSpec asserts (no SinglePartition in the sequencer, salted " +
       "politeness top-k, TakeOrderedAndProject pagination, BHJ on dims, " +
       "pruning/pushdown).\n")
+    // production-family (xx64) twins of the Md5-parameterized queries
+    // entries — the fused signature/band plans the bench series measure
+    val extraPicks: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("dd03_minhash_xx64 (production family, not a queries entry)",
+        "MinHash+LSH with the fused xx64 stages (round-6): signatures are " +
+          "ONE codegen'd projection off the documents scan (minhash_sigs — " +
+          "no shingle explode, no 64-min aggregate, null gate pushed to the " +
+          "scan as IsNotNull(text)); band hashes are one pass over the " +
+          "signature array (lsh_band_hashes) feeding the posexplode the " +
+          "bucket equi-join consumes; Jaccard verify on candidates only. " +
+          "The queries-map dd03 entry above keeps the Md5 composition the " +
+          "DuckDB oracle twins.",
+        graft.pipeline.Dedup.minhashNearDups(
+          graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+          tau = 0.3)),
+      ("dd04_simhash_xx64 (production family, not a queries entry)",
+        "SimHash near-dups with the fused xx64 signature (round-6): the " +
+          "packed 64-bit signature is ONE codegen'd projection per document " +
+          "(simhash64 — no token explode, no 64-sum aggregate; the no-token " +
+          "drop is the input-only rlike filter, evaluated without running " +
+          "the kernel twice), then 16-bit-chunk blocking join + exact " +
+          "Hamming verify.",
+        graft.pipeline.Dedup.simhashNearDups(
+          graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+          maxHamming = 8)))
+
     picks.foreach { case (name, commentary) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -120,8 +146,15 @@ object PlanDump {
       sb.append(plan.take(12000))
       sb.append("\n```\n")
     }
+    extraPicks.foreach { case (name, commentary, df) =>
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n\n$commentary\n\n```\n")
+      sb.append(plan.take(12000))
+      sb.append("\n```\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${picks.size} plans)")
+    println(s"wrote PLANS.md (${picks.size + extraPicks.size} plans)")
     spark.stop()
   }
 }
