@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => LshBandHashes(exprs.head,
         litInt(exprs(1), "lsh_band_hashes", "bands"), litInt(exprs(2), "lsh_band_hashes", "r"))
     }
+    inject("winnow_fp", "winnow_fp(text, w) - fused winnowing fingerprint struct<fingerprint,fp_hash>; w a literal int") {
+      exprs => WinnowFp(exprs.head, litInt(exprs(1), "winnow_fp", "w"))
+    }
   }
 
   /** SQL surface of a constructor-Int parameter: the argument must fold

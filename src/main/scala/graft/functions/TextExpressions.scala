@@ -401,7 +401,7 @@ object MinHashOps {
     * reversed in place — Long.MinValue included (negated per-digit via
     * negative remainders).
     */
-  private def longToAscii(buf: Array[Byte], pos: Int, v: Long): Int = {
+  private[functions] def longToAscii(buf: Array[Byte], pos: Int, v: Long): Int = {
     var p = pos
     if (v == 0) { buf(p) = '0'; return p + 1 }
     var x = v
@@ -452,6 +452,138 @@ object MinHashOps {
     if (toks.length < k) window(toks.mkString(" "))
     else (0 to toks.length - k).foreach(w => window(toks.slice(w, w + k).mkString(" ")))
     new GenericArrayData(mins)
+  }
+}
+
+/** Fused winnowing fingerprint for the xxhash64 (production) family —
+  * value-identical to the Catalyst composition in
+  * `TextAnalysis.winnowingFingerprintComposed` (Schleimer et al.,
+  * SIGMOD'03):
+  *
+  *   toks   = filter(split(trim(text), "\\s+"), t => t != "")
+  *   hashes = transform(toks, t => xxhash64(xxhash64(t), 0))
+  *   mins   = window minima of `hashes`, window w (≥1 window; all-of-doc
+  *            when the doc is shorter than w; empty when no tokens)
+  *   fingerprint = array_sort(array_distinct(mins))
+  *   fp_hash     = xxhash64(xxhash64(array_join(decimal(fingerprint), ",")), 1)
+  *
+  * as ONE scan per document returning `struct<fingerprint:array<bigint>,
+  * fp_hash:bigint>`. The composition is all interpreted higher-order
+  * functions — per window it slices and array_min's, O(n·w) interpreted
+  * calls — while the kernel tokenizes byte-level (ASCII whitespace can
+  * never occur inside a multi-byte UTF-8 sequence, so NO fallback is
+  * needed and token bytes are passed through case-preserved, exactly
+  * like the `\s+` split), folds a monotonic-deque sliding minimum in
+  * O(n), then sorts + dedups the minima in place and hashes the joined
+  * decimal bytes from a scratch buffer. FastShinglesSpec pins fused ≡
+  * composed; the ta04 DuckDB oracle rides the Md5 composition unchanged.
+  */
+case class WinnowFp(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fingerprint",
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("fp_hash",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    else if (window < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires window >= 1, got $window")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowOps.winnowFp(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowOps.winnowFp($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fp"
+}
+
+object WinnowOps {
+
+  private val Seed = 42L
+
+  private def isWs(b: Byte): Boolean = // Java regex \s = [ \t\n\x0B\f\r]
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def rank(h: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(0,
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, Seed))
+
+  /** static codegen target; see [[WinnowFp]]. */
+  def winnowFp(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+
+    // token rank hashes: maximal non-whitespace byte runs, case and
+    // bytes preserved (no fallback needed — see class doc)
+    var hashes = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        if (nTok == hashes.length) hashes = java.util.Arrays.copyOf(hashes, nTok * 2)
+        hashes(nTok) = rank(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, Seed))
+        nTok += 1
+      }
+    }
+
+    // sliding-window minima via monotonic deque (O(n)); below w tokens a
+    // single all-of-doc window; zero tokens → empty fingerprint
+    val nWin = if (nTok == 0) 0 else math.max(nTok - w + 1, 1)
+    val mins = new Array[Long](nWin)
+    if (nTok > 0) {
+      val win = math.min(w, nTok)
+      val deque = new Array[Int](nTok) // indices, increasing hash values
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < nTok) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - win) head += 1
+        if (i >= win - 1) mins(i - win + 1) = hashes(deque(head))
+        i += 1
+      }
+    }
+
+    // fingerprint = sorted distinct minima
+    java.util.Arrays.sort(mins)
+    var fpLen = 0
+    i = 0
+    while (i < nWin) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(fpLen) = mins(i); fpLen += 1 }
+      i += 1
+    }
+    val fp = java.util.Arrays.copyOf(mins, fpLen)
+
+    // fp_hash over the comma-joined decimal bytes (same chain, seed 1)
+    val buf = new Array[Byte](fpLen * 21)
+    var pos = 0
+    i = 0
+    while (i < fpLen) {
+      if (pos > 0) { buf(pos) = ','; pos += 1 }
+      pos = MinHashOps.longToAscii(buf, pos, fp(i))
+      i += 1
+    }
+    val hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, Seed)
+    val fpHash = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(1,
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(hp, Seed))
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(fp), fpHash))
   }
 }
 

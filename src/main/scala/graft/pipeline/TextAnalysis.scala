@@ -231,7 +231,29 @@ object TextAnalysis {
   def winnowingFingerprint(
       docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4,
-      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+      family: HashFamily = HashFamily.XxHash64): DataFrame =
+    if (family == HashFamily.XxHash64) {
+      // fused kernel (graft.functions.WinnowFp): tokenize + rank-hash +
+      // O(n) deque sliding minima + sort/dedup + fp digest in ONE scan —
+      // the composition below runs O(n·window) interpreted higher-order
+      // calls per document. Both struct fields come from one expression;
+      // whole-stage codegen's subexpression elimination evaluates the
+      // kernel once per row. Values are pinned fused ≡ composed in
+      // FastShinglesSpec; the ta04 oracle rides the Md5 composition.
+      val fused = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.WinnowFp(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)), window))
+      docs.select(
+        col(idCol),
+        fused.getField("fingerprint").as("fingerprint"),
+        fused.getField("fp_hash").as("fp_hash"))
+    } else winnowingFingerprintComposed(docs, idCol, textCol, window, family)
+
+  /** the defining composition (see [[winnowingFingerprint]]). */
+  private[graft] def winnowingFingerprintComposed(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int,
+      family: HashFamily): DataFrame = {
     val toks = wsTokens(col(textCol))
     // rankHash: winnowing takes window MINIMA, so the order must be
     // well-mixed (see HashFamily's rank-vs-equality doc)

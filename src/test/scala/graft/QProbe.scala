@@ -80,6 +80,18 @@ object QProbe {
               graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
               graft.pipeline.HashFamily.XxHash64),
             "doc_id", maxHamming = 8).count()
+        case "ta04_xx64" => () =>
+          // production family: the fused WinnowFp fingerprint stage
+          graft.pipeline.TextAnalysis.winnowingFingerprint(
+            graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text")
+            .count()
+        case "ta04_xx64_composed" => () =>
+          // A/B twin: the interpreted window-minima composition under
+          // the same production family
+          graft.pipeline.TextAnalysis.winnowingFingerprintComposed(
+            graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+            window = 4, family = graft.pipeline.HashFamily.XxHash64)
+            .count()
         case n => () => SparkEntry.queries(n)(spark, sfDir).count()
       }
       run()

@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all thirteen functions; SQL evaluates them under CODEGEN_ONLY") {
+  test("GraftExtensions injects all fourteen functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
@@ -38,7 +38,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  simhash64('one Two three') AS sim,
         |  simhash64('.,;') AS sim_none,
         |  minhash_sigs('one Two three', 2, 4) AS mh,
-        |  lsh_band_hashes(array(1L, -2L, 3L, 4L), 2, 2) AS bh
+        |  lsh_band_hashes(array(1L, -2L, 3L, 4L), 2, 2) AS bh,
+        |  winnow_fp('one Two one Three', 2) AS wf
         |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
     finally prev match {
@@ -62,6 +63,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](11) == MinHashOps.lshBandHashes(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array[Any](1L, -2L, 3L, 4L)), 2, 2).toLongArray().toSeq)
+    val wf = WinnowOps.winnowFp(
+      org.apache.spark.unsafe.types.UTF8String.fromString("one Two one Three"), 2)
+    val wfRow = r.getStruct(12)
+    assert(wfRow.getSeq[Long](0) == wf.getArray(0).toLongArray().toSeq)
+    assert(wfRow.getLong(1) == wf.getLong(1))
 
     // non-literal k must be an analysis-time error, not a wrong answer
     val err = intercept[Exception] {

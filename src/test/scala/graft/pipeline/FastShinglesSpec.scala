@@ -177,4 +177,38 @@ class FastShinglesSpec extends AnyFunSuite {
       assert(got == want, s"bands=$bands r=$r")
     }
   }
+
+  /** the fused WinnowFp expression vs the interpreted window-minima
+    * composition — fingerprint arrays AND fp digests, value for value.
+    * Cases cover whitespace variety (the \s set), case preservation,
+    * non-ASCII tokens (no fallback — byte-safe split), docs shorter than
+    * the window, empty docs, and repeated tokens (distinct collapse).
+    */
+  test("fused WinnowFp equals the window-minima composition") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "ab AB_12 .,;|-éK🙂\n\t% "
+    val random = (0 until 2000).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "\t\n\f\r", "one", "one two three",
+      "a a a a a a a a", "Mixed CASE Mixed case", "é 🙂 K İ",
+      "x\ty\nz", ("tok " * 300).trim, "  leading and trailing  ")
+    val cases = random ++ edges
+    for (w <- Seq(1, 4, 7)) {
+      val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.winnowingFingerprint(df, "doc_id", "text", w)
+        .as[(Long, Seq[Long], Long)].collect().toMap2
+      val want = TextAnalysis.winnowingFingerprintComposed(df, "doc_id", "text", w,
+          graft.pipeline.HashFamily.XxHash64)
+        .as[(Long, Seq[Long], Long)].collect().toMap2
+      assert(got.keySet == want.keySet, s"w=$w")
+      got.foreach { case (id, v) =>
+        assert(v == want(id), s"w=$w doc_id=$id text=<${cases(id.toInt)}>")
+      }
+    }
+  }
+
+  implicit private class Tuple3Map[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
