@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fp", "winnow_fp(text, w) - fused winnowing fingerprint struct<fingerprint,fp_hash>; w a literal int") {
       exprs => WinnowFp(exprs.head, litInt(exprs(1), "winnow_fp", "w"))
     }
+    inject("sorted_shingle_set", "sorted_shingle_set(text, k) - binary-sorted distinct k-word shingles; k a literal int") {
+      exprs => SortedShingleSet(exprs.head, litInt(exprs(1), "sorted_shingle_set", "k"))
+    }
+    inject("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of two binary-sorted ARRAY<STRING>s by linear merge") {
+      exprs => SortedIntersectCount(exprs(0), exprs(1))
+    }
   }
 
   /** SQL surface of a constructor-Int parameter: the argument must fold

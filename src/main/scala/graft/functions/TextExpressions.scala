@@ -284,6 +284,105 @@ object ShingleOps {
     toksS.foreach(t => toks += t.getBytes("UTF-8"))
     joinWindows(toks, k)
   }
+
+  /** static codegen target; see [[SortedShingleSet]]. Sort order is
+    * UTF8String's natural (binary) order — any total order works for the
+    * merge in [[sortedIntersectCount]] as long as producer and consumer
+    * agree; binary is the cheapest.
+    */
+  def sortedShingleSet(s: UTF8String, k: Int): ArrayData = {
+    val base = fastShingles(s, k)
+    val n = base.numElements()
+    val arr = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { arr(i) = base.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  /** static codegen target; see [[SortedIntersectCount]]: |A∩B| of two
+    * arrays sorted by [[sortedShingleSet]]'s order, by linear merge.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** [[FastShingles]] with binary-sorted output — the per-doc half of the
+  * fused exact-Jaccard verify (`Dedup.exactJaccard`): each candidate doc
+  * computes its sorted distinct shingle set ONCE, and every candidate
+  * pair intersects two sorted arrays with [[SortedIntersectCount]]'s
+  * linear merge instead of the set-algebra composition's explode +
+  * per-shingle equi-join + per-pair count aggregate (three exchanges of
+  * one row PER SHINGLE — the dominant dd03 stage once signatures and
+  * bands were fused). The element SET is exactly [[FastShingles]]'s
+  * (= the `Dedup.shingles` composition, property-pinned); only the order
+  * differs, and no consumer of the verify path observes element order.
+  */
+case class SortedShingleSet(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.sortedShingleSet(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.sortedShingleSet($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sorted_shingle_set"
+}
+
+/** |A∩B| of two [[SortedShingleSet]] arrays by linear merge — the
+  * per-pair half of the fused exact-Jaccard verify (see
+  * [[SortedShingleSet]]'s doc for the structural argument). Inputs MUST
+  * be sorted by the producer's binary order; `Dedup.exactJaccard` is the
+  * sanctioned caller and FastShinglesSpec pins fused ≡ composed end to
+  * end.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRING> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_count"
 }
 
 /** Fused MinHash signature for the xxhash64 (production) family —

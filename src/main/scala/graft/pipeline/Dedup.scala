@@ -223,18 +223,60 @@ object Dedup {
       family: HashFamily = HashFamily.XxHash64): DataFrame =
     pairsFromBands(lshBands(signatures, idCol, bands, rowsPerBand, family), idCol)
 
-  /** Exact Jaccard over distinct k-shingles for given candidate pairs:
-    * |A∩B| by equi-join on shingle, sizes joined back — set algebra as
-    * joins+aggs, no per-row set materialization.
+  /** Exact Jaccard over distinct k-shingles for given candidate pairs.
+    *
+    * Fused shape: each candidate doc computes its binary-SORTED distinct
+    * shingle set ONCE (`SortedShingleSet`, one codegen'd byte scan), the
+    * pair list joins both sets in by id, and |A∩B| is a codegen'd linear
+    * merge over the two sorted arrays (`SortedIntersectCount`) — two
+    * array-carrying equi-joins and ZERO explode/aggregate exchanges.
+    * The defining set-algebra composition ([[exactJaccardComposed]]:
+    * explode + per-shingle equi-join + per-pair count + sizes joined
+    * back) exchanges one row PER SHINGLE of every candidate doc three
+    * times; measured as the dominant dd03 stage at sf0.1 once signatures
+    * and bands were fused (BENCH/BASELINE.md round-6). Values are
+    * identical — intersection of exact strings, no hashing —
+    * FastShinglesSpec pins fused ≡ composed and the dd03/dd05/dd10/dd11
+    * DuckDB oracles pin the values cross-engine. Per-task memory stays
+    * bounded: a row carries two docs' shingle arrays, O(doc length).
     */
   def exactJaccard(
       docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
     // verify only candidate docs: at 10^10 the pair list is vastly
-    // smaller than the corpus, so the semi join prunes the shingle
-    // explode to docs appearing in ≥1 pair (pure filter — results
-    // identical, dd05's exact oracle pins it; no distinct on the id
-    // union — LEFT SEMI deduplicates by construction)
+    // smaller than the corpus, so the semi join prunes the shingle scan
+    // to docs appearing in ≥1 pair (pure filter — results identical,
+    // dd05's exact oracle pins it; no distinct on the id union — LEFT
+    // SEMI deduplicates by construction)
+    val candIds = pairs.select(col("id_a").as("cid"))
+      .unionAll(pairs.select(col("id_b").as("cid")))
+    val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+    val sets = cand.select(col(idCol).as("sid"),
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.SortedShingleSet(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)),
+          shingleK)).as("sset"))
+    val inter = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("set_a")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("set_b"))))
+    pairs
+      .join(sets.select(col("sid").as("id_a"), col("sset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("sid").as("id_b"), col("sset").as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), inter.as("i"),
+        size(col("set_a")).cast("long").as("sz_a"),
+        size(col("set_b")).cast("long").as("sz_b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
+      .select(col("id_a"), col("id_b"), col("i"), col("sz_a"), col("sz_b"), col("jaccard"))
+  }
+
+  /** the defining set-algebra composition (see [[exactJaccard]]): |A∩B|
+    * by equi-join on shingle, sizes joined back — the executable spec.
+    */
+  private[graft] def exactJaccardComposed(
+      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
     val candIds = pairs.select(col("id_a").as("cid"))
       .unionAll(pairs.select(col("id_b").as("cid")))
     val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")

@@ -18,6 +18,8 @@ object DD03Probe {
     time("candidates")(Dedup.pairsFromBands(bands, "doc_id").count())
     val cands = Dedup.pairsFromBands(bands, "doc_id").localCheckpoint()
     time("verify")(Dedup.exactJaccard(docs, cands, "doc_id", "text").filter(col("jaccard") >= 0.3).count())
+    time("verify_composed")(Dedup.exactJaccardComposed(docs, cands, "doc_id", "text")
+      .filter(col("jaccard") >= 0.3).count())
     time("full")(Dedup.minhashNearDups(docs, "doc_id", "text", tau = 0.3).count())
   }
 }

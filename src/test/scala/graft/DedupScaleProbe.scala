@@ -41,6 +41,31 @@ object DedupScaleProbe {
         .getProcessCpuTime / 1e9
     def run(): Long =
       graft.pipeline.Dedup.minhashNearDups(docs, "doc_id", "text", tau = 0.5).count()
+    // optional 3rd arg "verify_ab": same-JVM alternating A/B of the fused
+    // exact-Jaccard verify vs the set-algebra composition (identical
+    // signatures/bands/candidates stages), min per side — the work-rich
+    // twin of DD03Probe's floor-bound sf0.1 stage walk
+    if (args.length > 2 && args(2) == "verify_ab") {
+      import graft.pipeline.Dedup
+      def pipeline(composed: Boolean): Long = {
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+        val cands = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
+        val ej = if (composed) Dedup.exactJaccardComposed(docs, cands, "doc_id", "text")
+          else Dedup.exactJaccard(docs, cands, "doc_id", "text")
+        ej.filter(col("jaccard") >= 0.5).count()
+      }
+      pipeline(false); pipeline(true) // warm both sides
+      def timed(composed: Boolean): Double = {
+        val t0 = System.nanoTime(); pipeline(composed); (System.nanoTime() - t0) / 1e9
+      }
+      val walls = (1 to reps).flatMap(_ => Seq(false -> timed(false), true -> timed(true)))
+      def side(c: Boolean) = walls.collect { case (`c`, w) => w }
+      println(f"DSCALE_AB cpus=$cpus%s docs=$nDocs%d " +
+        f"fusedMin=${side(false).min}%.2f composedMin=${side(true).min}%.2f " +
+        f"fused=[${side(false).map(w => f"$w%.2f").mkString(", ")}] " +
+        f"composed=[${side(true).map(w => f"$w%.2f").mkString(", ")}]")
+      return
+    }
     run() // warm
     val times = (1 to reps).map { _ =>
       val c0 = procCpuSec(); val t0 = System.nanoTime()

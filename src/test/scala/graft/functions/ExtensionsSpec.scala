@@ -15,7 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   implicit val spark: SparkSession = SparkTestSession.spark
 
-  test("GraftExtensions injects all fourteen functions; SQL evaluates them under CODEGEN_ONLY") {
+  test("GraftExtensions injects all sixteen functions; SQL evaluates them under CODEGEN_ONLY") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftExtTestBridge.register(
@@ -39,7 +39,9 @@ class ExtensionsSpec extends AnyFunSuite {
         |  simhash64('.,;') AS sim_none,
         |  minhash_sigs('one Two three', 2, 4) AS mh,
         |  lsh_band_hashes(array(1L, -2L, 3L, 4L), 2, 2) AS bh,
-        |  winnow_fp('one Two one Three', 2) AS wf
+        |  winnow_fp('one Two one Three', 2) AS wf,
+        |  sorted_shingle_set('c b a c b', 2) AS sss,
+        |  sorted_intersect_count(array('a', 'b', 'd'), array('b', 'c', 'd')) AS sic
         |FROM (SELECT 1)
         |""".stripMargin).collect()(0)
     finally prev match {
@@ -68,6 +70,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val wfRow = r.getStruct(12)
     assert(wfRow.getSeq[Long](0) == wf.getArray(0).toLongArray().toSeq)
     assert(wfRow.getLong(1) == wf.getLong(1))
+    assert(r.getSeq[String](13) == Seq("a c", "b a", "c b"))
+    assert(r.getLong(14) == 2L)
 
     // non-literal k must be an analysis-time error, not a wrong answer
     val err = intercept[Exception] {

@@ -211,4 +211,35 @@ class FastShinglesSpec extends AnyFunSuite {
   implicit private class Tuple3Map[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  /** the fused exact-Jaccard verify (sorted shingle sets + linear merge
+    * intersect) vs the defining set-algebra composition — every output
+    * column, row for row. Cases cover zero-overlap pairs (i=0, the
+    * composition's left-join+coalesce branch), identical docs, non-ASCII
+    * fallback docs, empty docs (the [""] single-shingle branch), pairs
+    * referencing ids absent from docs (both shapes drop them), and docs
+    * in multiple pairs.
+    */
+  test("fused exactJaccard equals the set-algebra composition") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("alpha", "beta", "Gamma", "delta_1", "é", "zz")
+    val docs = (0L until 60L).map { id =>
+      val n = rnd.nextInt(30)
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (60L, "") :+ (61L, "alpha beta Gamma") :+ (62L, "alpha beta Gamma")
+    val docsDf = docs.toDF("doc_id", "text")
+    val pairs = (0 until 120).map { _ =>
+      val a = rnd.nextInt(63).toLong; val b = rnd.nextInt(63).toLong
+      (math.min(a, b), math.max(a, b) + (if (a == b) 1 else 0))
+    }.distinct ++ Seq((61L, 62L), (60L, 61L), (5L, 999L)) // identical, empty-vs-text, dangling id
+    val pairsDf = pairs.toDF("id_a", "id_b")
+    for (k <- Seq(1, 3)) {
+      val got = Dedup.exactJaccard(docsDf, pairsDf, "doc_id", "text", k)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().sorted.toSeq
+      val want = Dedup.exactJaccardComposed(docsDf, pairsDf, "doc_id", "text", k)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got == want, s"k=$k")
+      assert(got.exists(_._3 == 0L), s"k=$k: no zero-overlap pair exercised")
+    }
+  }
 }
