@@ -51,97 +51,114 @@ object CrawlQueries {
     SyntheticCorpus.docsLocal(NHosts).toDS().toDF()
   }
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every crawl query over an explicit snapshot store — the single
+    * definition the driver surface ([[all]]) AND the cross-implementation
+    * twin spec (CrawlTwinSpec, over differently-shaped fixture crawls)
+    * share, so the twin diffs the exact query programs the driver runs.
+    */
+  def over(st: SnapshotStore, s: SparkSession): Map[String, DataFrame] = Map(
     // the golden crawl order (K5)
-    "crawl01_log" -> ((s, _) => store(s).read("crawl_log").orderBy("seq")),
+    "crawl01_log" -> st.read("crawl_log").orderBy("seq"),
 
     // domain lifecycle table after the run
-    "crawl02_domains" -> ((s, _) =>
-      store(s).read("domains")
+    "crawl02_domains" ->
+      st.read("domains")
         .select("host", "is_up", "dead_in_a_row", "first_seen_round",
           "last_visited_round", "last_alive_round", "is_fake", "genuine_host",
           "pages_crawled", "server", "powered_by")
-        .orderBy("host")),
+        .orderBy("host"),
 
     // exact URL-seen set
-    "crawl03_seen" -> ((s, _) =>
-      store(s).read("seen").select("fingerprint", "url").orderBy("fingerprint")),
+    "crawl03_seen" ->
+      st.read("seen").select("fingerprint", "url").orderBy("fingerprint"),
 
     // link-graph degrees (J5)
-    "crawl04_link_degrees" -> ((s, _) =>
-      Lookups.linkDegrees(store(s).read("links"))
-        .orderBy(col("in_degree").desc, col("host").asc).limit(20)),
+    "crawl04_link_degrees" ->
+      Lookups.linkDegrees(st.read("links"))
+        .orderBy(col("in_degree").desc, col("host").asc).limit(20),
 
     // full-text search: multi-match query over the COMMITTED pages_fts
     // index (K2 — maintained incrementally by the loop, not rebuilt here)
-    "crawl05_search" -> ((s, _) =>
-      Search.query(store(s).read("pages_fts"),
-        "hidden market directory", page = 0, pageSize = 10)),
+    "crawl05_search" ->
+      Search.query(st.read("pages_fts"),
+        "hidden market directory", page = 0, pageSize = 10),
 
     // inverted lookup: top emails by distinct host count (J7)
-    "crawl06_top_emails" -> ((s, _) =>
-      Lookups.topFacts(store(s).read("emails"), 15)),
+    "crawl06_top_emails" ->
+      Lookups.topFacts(st.read("emails"), 15),
 
     // clone/fake marking (J6/A6)
-    "crawl07_clones" -> ((s, _) =>
-      store(s).read("domains").filter(col("is_fake"))
-        .select("host", "genuine_host").orderBy("host")),
+    "crawl07_clones" ->
+      st.read("domains").filter(col("is_fake"))
+        .select("host", "genuine_host").orderBy("host"),
 
     // alive/dead transition edges (W4)
-    "crawl08_transitions" -> ((s, _) =>
-      Alive.transitions(store(s).read("pages"))
-        .orderBy("host", "round")),
+    "crawl08_transitions" ->
+      Alive.transitions(st.read("pages"))
+        .orderBy("host", "round"),
 
     // per-round scheduling metrics rollup (A7)
-    "crawl09_metrics" -> ((s, _) =>
-      store(s).read("metrics").groupBy("round")
+    "crawl09_metrics" ->
+      st.read("metrics").groupBy("round")
         .agg(sum("urls_in").as("urls_in"), sum("denied").as("denied"),
           sum("deduped").as("deduped"), sum("scheduled").as("scheduled"),
           sum("fetched").as("fetched"), sum("new_onions").as("new_onions"))
-        .orderBy("round")),
+        .orderBy("round"),
 
     // shared-SSH-key lookup: reused infrastructure corroborating clone
     // flags (J7 + the A6 "matching SSH fp" rule)
-    "crawl11_ssh_lookup" -> ((s, _) => {
-      val st = store(s)
+    "crawl11_ssh_lookup" ->
       Lookups.sharedInfrastructure(st.read("ssh_fps"), st.read("domains"))
-        .orderBy("ssh_fp", "host")
-    }),
+        .orderBy("ssh_fp", "host"),
 
     // portscan listing per host (the reference's port-scan page): every
     // open port observed for the host, latest observation round
-    "crawl12_ports" -> ((s, _) =>
-      store(s).read("open_ports")
+    "crawl12_ports" ->
+      st.read("open_ports")
         .groupBy(col("host"), col("value").cast("int").as("port"))
         .agg(max(col("round")).as("last_seen_round"))
-        .orderBy(col("host"), col("port"))),
+        .orderBy(col("host"), col("port")),
 
     // media half of the interleaved span contract: every media_ref of a
     // fetched page, span-ordered (the reference's text+media documents)
-    "crawl13_media" -> ((s, _) =>
-      store(s).read("media_refs")
+    "crawl13_media" ->
+      st.read("media_refs")
         .groupBy(col("host"), col("media_ref"))
         .agg(max(col("round")).as("last_seen_round"), count(lit(1)).as("n_obs"))
-        .orderBy(col("host"), col("media_ref"))),
+        .orderBy(col("host"), col("media_ref")),
 
     // host-importance PageRank over the committed link graph (fixed 10
     // iterations, dangling mass redistributed; deterministic — rows-only:
     // engine-internal input; RankSpec pins values vs a local reference)
-    "crawl14_pagerank" -> ((s, _) =>
-      graft.analytics.Rank.pageRank(store(s).read("links"))
+    "crawl14_pagerank" ->
+      graft.analytics.Rank.pageRank(st.read("links"))
         .select(col("host"), round(col("rank"), 8).as("rank"))
         .orderBy(col("rank").desc, col("host").asc)
-        .limit(20)),
+        .limit(20),
 
     // SQL entry point over registered snapshot views + JSON projection
     // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)
-    "crawl10_sql_api" -> ((s, _) => {
-      graft.analytics.Api.registerViews(store(s), s)
+    "crawl10_sql_api" -> {
+      graft.analytics.Api.registerViews(st, s)
       val top = graft.analytics.Api.sql(s,
         """SELECT d.host, d.is_up, count(p.url) AS n_pages
           |FROM graft_domains d LEFT JOIN graft_pages p ON d.host = p.host
           |GROUP BY d.host, d.is_up
           |ORDER BY n_pages DESC, d.host ASC LIMIT 15""".stripMargin)
       graft.analytics.Api.asJsonLines(top)
-    }))
+    })
+
+  /** [[over]]'s keys — static because building [[over]]'s map reads the
+    * store eagerly, and [[all]] must stay lazy until a query is invoked.
+    */
+  val Names: Seq[String] = Seq(
+    "crawl01_log", "crawl02_domains", "crawl03_seen", "crawl04_link_degrees",
+    "crawl05_search", "crawl06_top_emails", "crawl07_clones",
+    "crawl08_transitions", "crawl09_metrics", "crawl10_sql_api",
+    "crawl11_ssh_lookup", "crawl12_ports", "crawl13_media", "crawl14_pagerank")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    Names.map { name =>
+      name -> ((s: SparkSession, _: String) => over(store(s), s)(name))
+    }.toMap
 }

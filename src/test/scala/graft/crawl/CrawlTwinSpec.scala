@@ -94,6 +94,27 @@ class CrawlTwinSpec extends AnyFunSuite {
         .collect().toSeq.map(r => (0 until 7).map(i => fmt(r.get(i))).mkString("\t"))
     })
 
+    // the analytic crawl queries themselves (crawl04..crawl13) — dumped
+    // from the EXACT per-store query programs the driver surface runs
+    // (CrawlQueries.over), so a twin match pins each query end to end:
+    // inputs (the tables above) AND the aggregation/ranking semantics.
+    // crawl09 is byte-identical to metrics.tsv (same program); crawl14
+    // (PageRank) stays out — FP iteration order is execution detail,
+    // RankSpec pins it against a dense local reference.
+    val queries = CrawlQueries.over(st, spark)
+    def dumpQuery(file: String, name: String): Unit =
+      dump(file, queries(name).collect().toSeq.map(r =>
+        (0 until r.size).map(i => fmt(r.get(i))).mkString("\t")))
+    dumpQuery("q_crawl04_link_degrees.tsv", "crawl04_link_degrees")
+    dumpQuery("q_crawl05_search.tsv", "crawl05_search")
+    dumpQuery("q_crawl06_top_emails.tsv", "crawl06_top_emails")
+    dumpQuery("q_crawl07_clones.tsv", "crawl07_clones")
+    dumpQuery("q_crawl08_transitions.tsv", "crawl08_transitions")
+    dumpQuery("q_crawl10_sql_api.tsv", "crawl10_sql_api")
+    dumpQuery("q_crawl11_ssh_lookup.tsv", "crawl11_ssh_lookup")
+    dumpQuery("q_crawl12_ports.tsv", "crawl12_ports")
+    dumpQuery("q_crawl13_media.tsv", "crawl13_media")
+
     val cmd = Seq("python3", "tools/crawl_twin.py",
       "--nhosts", nHosts.toString, "--rounds", rounds.toString,
       "--engine-dir", dir)

@@ -973,6 +973,127 @@ def fts_lines(fts):
             for (t, u, h, it, r) in sorted(fts)]
 
 
+# ---------------------------------------------------------------------------
+# Analytic crawl-query outputs (crawl04..crawl13) — re-derived from the
+# twin's OWN tables, so each downstream query is cross-implementation
+# pinned end to end (inputs AND aggregation), not just via its inputs.
+# crawl14 (PageRank) is deliberately absent: it iterates in floating
+# point, where summation order is execution-layout detail; RankSpec pins
+# it against a dense local reference instead.
+# ---------------------------------------------------------------------------
+
+def q_crawl04_lines(links):
+    outd = {}
+    ind = {}
+    for (src, dst, sh, dh, _r) in links:
+        outd.setdefault(sh, set()).add(dh)
+        ind.setdefault(dh, set()).add(sh)
+    hosts = set(outd) | set(ind)
+    rows = [(h, len(outd.get(h, ())), len(ind.get(h, ()))) for h in hosts]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return ["%s\t%d\t%d" % r for r in rows[:20]]
+
+
+def q_crawl05_lines(fts, query="hidden market directory", page=0, page_size=10):
+    terms = distinct_in_order(
+        t for t in re.split(r"\W+", query.lower()) if len(t) > 1)
+    # committed-index dedup: (term,url,host) -> OR(in_title)
+    hit = {}
+    for (t, u, h, it, _r) in fts:
+        if t in terms:
+            k = (t, u, h)
+            hit[k] = hit.get(k, False) or it
+    per_page = {}
+    for (t, u, h), it in hit.items():
+        m, th = per_page.get((u, h), (set(), 0))
+        m.add(t)
+        per_page[(u, h)] = (m, th + (1 if it else 0))
+    rows = [(u, h, len(m) + 2 * th, len(m), th)
+            for (u, h), (m, th) in per_page.items()]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:(page + 1) * page_size]
+    return ["%d\t%s\t%s\t%d\t%d\t%d" % ((i + 1,) + r)
+            for i, r in enumerate(rows) if i + 1 > page * page_size]
+
+
+def q_top_facts_lines(rows, k):
+    by_val = {}
+    for (h, v, _r) in rows:
+        by_val.setdefault(v, set()).add(h)
+    out = [(v, len(hs)) for v, hs in by_val.items()]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return ["%s\t%d" % r for r in out[:k]]
+
+
+def q_crawl07_lines(domains):
+    return ["%s\t%s" % (h, domains[h]["genuine_host"])
+            for h in sorted(domains) if domains[h]["is_fake"]]
+
+
+def q_crawl08_lines(pages):
+    up = {}  # (host, round) -> up_now
+    for p in pages:
+        k = (p["host"], p["visited_round"])
+        up[k] = max(up.get(k, 0), 1 if p["status"] > 0 else 0)
+    out = []
+    by_host = {}
+    for (h, r), u in up.items():
+        by_host.setdefault(h, []).append((r, u))
+    for h in sorted(by_host):
+        prev = None
+        for r, u in sorted(by_host[h]):
+            if prev is not None and prev != u:
+                out.append((h, r, "went_up" if u == 1 else "went_down"))
+            prev = u
+    return ["%s\t%d\t%s" % t for t in sorted(out)]
+
+
+def q_crawl10_lines(domains, pages):
+    n_pages = {}
+    for p in pages:
+        n_pages[p["host"]] = n_pages.get(p["host"], 0) + 1
+    rows = [(h, domains[h]["is_up"], n_pages.get(h, 0)) for h in domains]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return ['{"host":"%s","is_up":%s,"n_pages":%d}' % (h, fmt_bool(up), n)
+            for (h, up, n) in rows[:15]]
+
+
+def q_crawl11_lines(ssh_fps, domains):
+    by_fp = {}
+    for (h, v, _r) in ssh_fps:
+        by_fp.setdefault(v, set()).add(h)
+    out = []
+    for fp in sorted(by_fp):
+        hosts = by_fp[fp]
+        if len(hosts) <= 1:
+            continue
+        for h in sorted(hosts):
+            d = domains.get(h)
+            out.append("%s\t%s\t%s\t%s" % (
+                fp, h,
+                fmt_bool(d["is_fake"]) if d else "",
+                d["genuine_host"] if d else ""))
+    return out
+
+
+def q_crawl12_lines(open_ports):
+    last = {}
+    for (h, v, r) in open_ports:
+        k = (h, int(v))
+        last[k] = max(last.get(k, r), r)
+    return ["%s\t%d\t%d" % (h, p, r)
+            for (h, p), r in sorted(last.items())]
+
+
+def q_crawl13_lines(media_refs):
+    agg = {}
+    for (_u, h, ref, _pos, r) in media_refs:
+        last, n = agg.get((h, ref), (r, 0))
+        agg[(h, ref)] = (max(last, r), n + 1)
+    return ["%s\t%s\t%d\t%d" % (h, ref, last, n)
+            for (h, ref), (last, n) in sorted(agg.items())]
+
+
 def diff_lines(name, twin, engine):
     if twin == engine:
         print("OK   %s: %d lines match exactly" % (name, len(twin)))
@@ -1020,7 +1141,19 @@ def main():
              ("ssh_fps.tsv", fact_lines(facts["ssh_fps"])),
              ("open_ports.tsv", fact_lines(facts["open_ports"])),
              ("pages_fts.tsv", fts_lines(fts)),
-             ("metrics.tsv", metrics_lines(metrics))]
+             ("metrics.tsv", metrics_lines(metrics)),
+             # analytic query outputs (crawl04..crawl13; crawl09 ≡ the
+             # metrics sums above, crawl14 is FP-iterative — see comment
+             # on the q_* helpers)
+             ("q_crawl04_link_degrees.tsv", q_crawl04_lines(links)),
+             ("q_crawl05_search.tsv", q_crawl05_lines(fts)),
+             ("q_crawl06_top_emails.tsv", q_top_facts_lines(facts["emails"], 15)),
+             ("q_crawl07_clones.tsv", q_crawl07_lines(domains)),
+             ("q_crawl08_transitions.tsv", q_crawl08_lines(pages)),
+             ("q_crawl10_sql_api.tsv", q_crawl10_lines(domains, pages)),
+             ("q_crawl11_ssh_lookup.tsv", q_crawl11_lines(facts["ssh_fps"], domains)),
+             ("q_crawl12_ports.tsv", q_crawl12_lines(facts["open_ports"])),
+             ("q_crawl13_media.tsv", q_crawl13_lines(media_refs))]
 
     if args.out:
         import os
