@@ -297,6 +297,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("i"), col("sz_a"), col("sz_b"), col("jaccard"))
   }
 
+  /** Duplicate-span removal — the distributed window-hash formulation of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove text that repeats
+    * verbatim across the corpus, not just whole near-dup documents).
+    * Suffix arrays are the single-machine tool; the Spark-shaped
+    * equivalent is k-token sliding windows keyed by a 64-bit hash:
+    *
+    *   1. one codegen'd token scan per doc ([[tokenSeq]]);
+    *   2. every k-token window (docs shorter than k have none) hashed
+    *      with the injectable [[HashFamily]] — the groupBy/join key is
+    *      8 bytes, not the ~50-byte window string;
+    *   3. windows whose hash occurs ≥ 2 times corpus-wide (within-doc
+    *      repeats count) are duplicated spans;
+    *   4. a token is removed iff some duplicated window covers it;
+    *      coverage positions aggregate per doc (array is O(doc length),
+    *      bounded per task), and the rebuild is one narrow HOF pass.
+    *
+    * Scale shape: the window count is map-side-combined on the 8-byte
+    * hash; the semi join back is an equi join on the same key (AQE
+    * handles hot hashes); coverage explode is k rows per DUPLICATED
+    * window only; no per-token row ever crosses an exchange. Under
+    * xxhash64 a cross-window collision (2^-64) could remove a
+    * non-repeated span — the same accepted trade as hashed suffix-array
+    * buckets; the Md5 parameterization is DuckDB-recomputable and
+    * drives the exact dd12 oracle.
+    *
+    * Output per input doc: `(idCol, n_tokens, n_removed, kept_text)`.
+    */
+  def dupSpanRemoval(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("did"), tokenSeq(col(textCol)).as("tk"))
+    val wins = toks
+      .filter(size(col("tk")) >= k)
+      .select(col("did"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => family.hash(array_join(slice(col("tk"), i + 1, lit(k)), " "), 0)))
+        .as(Seq("wpos", "wh")))
+    val dupW = wins.groupBy(col("wh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("wh")
+    val cov = wins.join(dupW, Seq("wh"), "left_semi")
+      .select(col("did"),
+        explode(sequence(col("wpos"), col("wpos") + (k - 1))).as("cpos"))
+      .groupBy(col("did")).agg(collect_set(col("cpos")).as("cov"))
+    val covSafe = coalesce(col("cov"), array().cast("array<int>"))
+    toks.join(cov, Seq("did"), "left")
+      .select(col("did").as(idCol),
+        size(col("tk")).as("n_tokens"),
+        size(covSafe).as("n_removed"),
+        array_join(filter(col("tk"),
+          (t, i) => not(array_contains(covSafe, i))), " ").as("kept_text"))
+  }
+
   /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification ≥ tau.
     */

@@ -742,6 +742,40 @@ object Oracles {
         |WHERE CAST(p.i AS DOUBLE) / (sa.sz + sb.sz - p.i) >= 0.03
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // dd12: duplicate-span removal — window hashes under the Md5 family
+    // at seed 0 reduce to the h1 half of md5(window), so DuckDB replays
+    // the whole pipeline (tokens → k-windows → global count ≥ 2 →
+    // coverage → index-lambda rebuild) value-for-value. DuckDB list
+    // slices are 1-based INCLUSIVE and filter-lambda indexes are
+    // 1-based (hence i - 1).
+    "dd12_dup_span_removal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'), t -> t <> '') AS tk
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(tk) - 7)) AS wpos,
+         |    unnest(list_transform(range(len(tk) - 7),
+         |      i -> ${md5h1("array_to_string(tk[i+1:i+8], ' ')")})) AS wh
+         |  FROM toks WHERE len(tk) >= 8
+         |), dup AS (
+         |  SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT w.doc_id, w.wpos + offs.o AS cpos
+         |  FROM wins w JOIN dup USING (wh)
+         |  CROSS JOIN (SELECT unnest(range(8)) AS o) offs
+         |), covagg AS (
+         |  SELECT doc_id, count(*) AS n_removed, list(cpos) AS cps
+         |  FROM cov GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(coalesce(c.n_removed, 0) AS INT) AS n_removed,
+         |  coalesce(array_to_string(list_filter(tk,
+         |    (x, i) -> NOT coalesce(list_contains(c.cps, i - 1), false)), ' '), '') AS kept_text
+         |FROM toks t LEFT JOIN covagg c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "ann01_topk_bruteforce" ->
       """WITH u AS (
         |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

@@ -78,6 +78,16 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // duplicate-span removal (exact-substring dedup, window-hash
+    // formulation — Lee et al. 2022) — FULL oracle (Md5 family: the
+    // seed-0 window hash is the md5 h1 half, recomputed by DuckDB
+    // value-for-value; production default stays xxhash64)
+    "dd12_dup_span_removal" -> ((s, d) => {
+      Dedup.dupSpanRemoval(docs(s, d), "doc_id", "text", k = 8,
+          family = HashFamily.Md5)
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding near-dup pairs via multi-band hyperplane LSH + exact
     // cosine verification — FULL oracle (Md5 family planes; the DuckDB
     // twin reproduces the plane dot-product folds bit-for-bit, dd07

@@ -102,6 +102,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  /** dd12 semantics on hand-checkable docs: a k-window repeated across
+    * (or within) documents removes exactly the covered tokens; unique
+    * text and sub-k docs are untouched; both hash families agree (no
+    * collisions at this scale, so family choice is invisible).
+    */
+  test("dupSpanRemoval: planted shared spans removed, unique text kept") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ") // exactly k=8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),       // span mid-doc
+      (2L, s"$span tail1 tail2"),                  // span at head
+      (3L, "alpha beta gamma delta"),              // unique, < k tokens
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),      // unique, >= k tokens
+      (5L, s"$span $span")                         // within-doc repeat only
+    ).toDF("doc_id", "text")
+    for (fam <- Seq(HashFamily.XxHash64, HashFamily.Md5)) {
+      val got = Dedup.dupSpanRemoval(docs, "doc_id", "text", k = 8, family = fam)
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, 12, 8, "alpha beta gamma delta"),
+        (2L, 10, 8, "tail1 tail2"),
+        (3L, 4, 0, "alpha beta gamma delta"),
+        (4L, 10, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        // doc 5: the base window occurs at positions 0 AND 8 (plus in
+        // docs 1/2), so its two occurrences alone cover every token —
+        // the whole doc is removed
+        (5L, 16, 16, "")), s"family $fam")
+    }
+  }
+
   test("simhash: identical text ⇒ identical hash; near-dup ⇒ small hamming") {
     val sigs = Dedup.simhash(nearDupDocs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
