@@ -191,6 +191,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document top-k TF-IDF terms — the keyword-extraction staple of
+    * curation dashboards and topic triage. IDF is the LINEAR n_docs/df
+    * (no log): a single IEEE-754 division + multiply are correctly
+    * rounded in every engine, so ranking AND score are bit-identical
+    * cross-engine (the log variant differs in the last ulp across libm
+    * implementations); ranking is monotone in log-idf anyway for fixed
+    * tf. Ranks break ties by token ascending BEFORE rounding, so the
+    * displayed 6-dp score never influences order.
+    *
+    * Scale shape: tf is one map-side-combined groupBy of the exploded
+    * tokens, df aggregates tf's (already unique) (doc, token) rows,
+    * the join back rides the token key, and the top-k window partitions
+    * by doc — no global sort, no driver loop. `nDocs` is the one
+    * bounded scalar (a count), passed as a literal.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val nDocs = docs.count()
+    val tok = docs.select(col(idCol).as("did"),
+      explode(Dedup.tokenSeq(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, Seq("token"))
+      .withColumn("score_raw",
+        col("tf").cast("double") * (lit(nDocs.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("did")).orderBy(col("score_raw").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("did").as(idCol), col("rnk"), col("token"), col("tf"),
+        col("df"), round(col("score_raw"), 6).as("score"))
+  }
+
   /** Flesch-style readability score with cross-engine-exact proxies
     * (true syllable counting is dictionary-bound; curation stacks use
     * exactly this kind of regex proxy):

@@ -1006,6 +1006,34 @@ object Oracles {
         |FROM tok GROUP BY 1
         |ORDER BY cf DESC, token ASC LIMIT 30""".stripMargin,
 
+    // ta08: per-doc top-5 TF-IDF, LINEAR idf n_docs/df — one IEEE
+    // division + one multiply, bit-identical cross-engine; ranking uses
+    // the UNROUNDED score (ties by token asc), display rounds to 6.
+    "ta08_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / dft.df) AS score_raw
+        |  FROM tf JOIN dft USING (token) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, token, tf, df, score_raw,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score_raw DESC, token ASC) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df,
+        |  round(score_raw, 6) AS score
+        |FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+
     // ta07: the readability proxies verbatim; greatest(,1) guards match
     // the Spark side, double arithmetic is IEEE-identical, round(…,4).
     "ta07_readability" ->

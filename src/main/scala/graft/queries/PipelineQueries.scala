@@ -325,6 +325,14 @@ object PipelineQueries {
         .orderBy(col("cf").desc, col("token").asc)
     }),
 
+    // per-doc top-5 TF-IDF terms (linear idf — bit-identical IEEE ops
+    // cross-engine; ranks tie-broken by token before rounding) —
+    // FULL oracle
+    "ta08_tfidf" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Flesch-style readability (regex word/sentence/syllable proxies) —
     // FULL oracle
     "ta07_readability" -> ((s, d) => {

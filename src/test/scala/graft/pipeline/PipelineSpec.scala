@@ -580,6 +580,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(4L) == ((1.0, 1.0, 1.0, 1.0)))
   }
 
+  test("tfidfTopTerms: hand-computed linear-idf scores, token tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // N=3; df: apple 1, banana 2, cherry 2, dog 1
+    assert(got == Seq(
+      (1L, 1, "apple", 2L, 1L, 6.0),   // 2 * 3/1
+      (1L, 2, "banana", 1L, 2L, 1.5),  // 1 * 3/2
+      (2L, 1, "banana", 1L, 2L, 1.5),  // tie with cherry -> token asc
+      (2L, 2, "cherry", 1L, 2L, 1.5),
+      (3L, 1, "cherry", 3L, 2L, 4.5),
+      (3L, 2, "dog", 1L, 1L, 3.0)))
+  }
+
   test("vocabTopK: cf ordering, token tie-break, df alongside") {
     val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
       .toDF("doc_id", "text")
