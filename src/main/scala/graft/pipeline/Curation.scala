@@ -237,6 +237,49 @@ object Curation {
         round(col("token_mass").cast("double") / sum(col("token_mass")).over(w), 6))
   }
 
+  /** Cross-source overlap matrix — the corpus-audit table answering
+    * "how much of source A repeats in source B" before mixing weights
+    * are chosen: per unordered source pair, the Jaccard of the sources'
+    * distinct k-shingle sets plus BOTH directed containments (a heavily
+    * contained source is a subset-dump of another and should not be
+    * double-weighted). Set algebra as joins+aggs:
+    *
+    *   1. one fused shingle scan per doc, distinct-ed to (source,
+    *      shingle) — map-side-combined, the only corpus-sized exchange;
+    *   2. per-source set sizes (tiny);
+    *   3. shingle-key self-join restricted to source_a < source_b: the
+    *      fan-out per shingle is bounded by C(#sources, 2), so rows are
+    *      O(distinct shingles × present-pair count), never quadratic in
+    *      docs; count per pair is map-side-combined.
+    *
+    * At 100 TB the shingle strings would key as 8-byte family hashes
+    * (dd12's trade); the exact-string form here is what the DuckDB
+    * oracle replays verbatim.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame, srcCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(srcCol).as("source"),
+        explode(Dedup.shingleSet(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("i"), col("sz_a"),
+        col("sz_b"),
+        round(col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")), 6)
+          .as("jaccard"),
+        round(col("i").cast("double") / col("sz_a"), 6).as("containment_a"),
+        round(col("i").cast("double") / col("sz_b"), 6).as("containment_b"))
+  }
+
   /** Deterministic global shuffle for training-order assignment: every
     * document gets a replayable pseudo-random (shard, pos) from
     * `md5(seed:id)` — no RNG state, identical under any partitioning or

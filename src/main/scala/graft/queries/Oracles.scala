@@ -943,6 +943,38 @@ object Oracles {
 
     // pipe08: ta01's whitespace tokenizer; sums cast to BIGINT to match
     // Spark's sum(int)→long (DuckDB sum(INTEGER) is HUGEINT otherwise).
+    // pipe10: cross-source overlap — dd05's tokenizer/shingle CTEs with
+    // source as the set key; inner join, so only overlapping pairs list
+    // (matches the Spark side's inner shape).
+    "pipe10_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM toks
+        |), e AS (
+        |  SELECT DISTINCT source, unnest(shingles) AS s FROM sh
+        |), sizes AS (
+        |  SELECT source, count(*) AS sz FROM e GROUP BY 1
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.source_a, p.source_b, p.i, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  round(CAST(p.i AS DOUBLE) / (sa.sz + sb.sz - p.i), 6) AS jaccard,
+        |  round(CAST(p.i AS DOUBLE) / sa.sz, 6) AS containment_a,
+        |  round(CAST(p.i AS DOUBLE) / sb.sz, 6) AS containment_b
+        |FROM inter p
+        |JOIN sizes sa ON sa.source = p.source_a
+        |JOIN sizes sb ON sb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "pipe08_mixture" ->
       """WITH per AS (
         |  SELECT lang, source,

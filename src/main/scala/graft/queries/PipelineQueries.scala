@@ -287,6 +287,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-source shingle-overlap matrix (Jaccard + both directed
+    // containments per source pair) — FULL oracle
+    "pipe10_source_overlap" -> ((s, d) => {
+      Curation.sourceOverlapMatrix(docs(s, d), "source", "text", shingleK = 3)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // data-mixture composition per (lang, source) stratum — FULL oracle
     "pipe08_mixture" -> ((s, d) => {
       Curation.mixtureTable(docs(s, d), "text", Seq("lang", "source"))

@@ -646,6 +646,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != c, "seed must change the assignment")
   }
 
+  test("sourceOverlapMatrix: hand-computed pair, zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "s2", "b c d e"),   // shingles: "b c d", "c d e"
+      (3L, "s3", "x y z")      // shingle : "x y z"
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceOverlapMatrix(docs, "source", "text", shingleK = 3)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(("s1", "s2", 1L, 2L, 2L, 0.333333, 0.5, 0.5)))
+  }
+
   test("mixtureTable: per-stratum masses and global fractions") {
     val df = Seq(
       (1L, "a b", "en", "s1"), (2L, "c", "en", "s1"), (3L, "d e f", "fr", "s2"))
