@@ -24,7 +24,8 @@ object Bench {
     "q01_pricing_summary", "q02_revenue_by_nation", "q06_window_topk_per_group",
     "q08_running_sum", "q16_conditional_agg",
     "dd01_exact_dups", "dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
-    "ann01_topk_bruteforce", "ta01_token_stats", "ta02_quality",
+    "dd12_dup_span_removal", "ann01_topk_bruteforce", "ta01_token_stats",
+    "ta02_quality", "ta08_tfidf", "pipe10_source_overlap",
     "mm01_media_meta")
 
   def main(args: Array[String]): Unit = {
@@ -129,7 +130,13 @@ object Bench {
       ("dd04_simhash_xx64" -> timeQuery(() =>
         graft.pipeline.Dedup.simhashNearDups(
           graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
-          maxHamming = 8).count()))
+          maxHamming = 8).count())) :+
+      // dd12's queries entry is also the Md5 oracle parameterization;
+      // production keys windows with xxhash64 (8-byte groupBy key).
+      ("dd12_dupspan_xx64" -> timeQuery(() =>
+        graft.pipeline.Dedup.dupSpanRemoval(
+          graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+          k = 8).count()))
 
     // ---- approximate-operator quality (round-6): measured recall of the
     // production-family (xxhash64) approximations vs their exact twins at

@@ -103,7 +103,22 @@ object PlanDump {
           "expressions over one documents scan plus the grouped exact-dup " +
           "keeper join on the content hash; the kept set flows into the " +
           "md5 shuffle assignment's per-shard rank — joins plus one " +
-          "bounded-shard window, no collects."))
+          "bounded-shard window, no collects."),
+      "dd12_dup_span_removal" ->
+        ("Duplicate-span removal (exact-substring dedup): one token scan → " +
+          "window posexplode, map-side-combined count on the 8-byte window " +
+          "hash, semi join back on the same key, coverage explode only for " +
+          "DUPLICATED windows, per-doc coverage-array aggregate + narrow " +
+          "index-lambda rebuild — no per-token row crosses an exchange."),
+      "ta08_tfidf" ->
+        ("Per-doc TF-IDF top-k: map-side-combined tf groupBy, df over tf's " +
+          "unique (doc, token) rows, token-key join back, per-doc " +
+          "row_number window (partitioned — no global sort)."),
+      "pipe10_source_overlap" ->
+        ("Cross-source overlap matrix: one distinct (source, shingle) " +
+          "exchange, per-source sizes, shingle-key self-join with fan-out " +
+          "bounded by C(#sources, 2) per shingle — linear in distinct " +
+          "shingles, never doc-quadratic."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")

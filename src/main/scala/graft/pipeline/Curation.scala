@@ -180,6 +180,40 @@ object Curation {
       .withColumn("contaminated", col("containment") >= tau)
   }
 
+  /** Span-level decontamination — the surgical counterpart of
+    * [[contamination]]'s whole-doc verdict: instead of dropping a
+    * training document whose shingle containment crosses tau, remove
+    * exactly the k-token spans that appear verbatim in the eval set
+    * (the published decontamination recipes do both: flag at the doc
+    * level, excise at the span level when the document is otherwise
+    * valuable). Reuses [[Dedup.dupSpanRemoval]]'s machinery: eval-side
+    * window hashes become the flag set ([[Dedup.windowHashes]] under the
+    * same injectable family), a train window is covered iff its hash is
+    * in that set, and the rebuild is the shared coverage tail
+    * ([[Dedup.removeCovered]]). Eval items shorter than k tokens carry
+    * no k-window and are invisible here — that regime is exactly what
+    * the shingle-containment [[contamination]] screen covers.
+    *
+    * Output per TRAIN doc: `(idCol, n_tokens, n_removed, kept_text)`.
+    */
+  def spanDecontaminate(
+      trainDocs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8,
+      family: HashFamily = HashFamily.XxHash64,
+      /** eval sets are small — broadcast by default (the
+        * [[contamination]] knob pattern). */
+      broadcastEval: Boolean = true): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    val toks = trainDocs.select(col(idCol).as("did"),
+      Dedup.tokenSeq(col(textCol)).as("tk"))
+    val evalToks = evalDocs.select(col(idCol).as("did"),
+      Dedup.tokenSeq(col(textCol)).as("tk"))
+    val evalW0 = Dedup.windowHashes(evalToks, k, family).select("wh").distinct()
+    val evalW = if (broadcastEval) broadcast(evalW0) else evalW0.hint("shuffle_hash")
+    val flagged = Dedup.windowHashes(toks, k, family).join(evalW, Seq("wh"), "left_semi")
+    Dedup.removeCovered(toks, flagged, idCol, k)
+  }
+
   /** PII patterns, shared by [[piiScan]] and its oracle twin. Written in
     * the RE2-compatible subset (no lookarounds, no backrefs) so Java's
     * regex and DuckDB's RE2 match IDENTICAL spans — the q17/ta01

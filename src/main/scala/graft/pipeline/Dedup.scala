@@ -330,15 +330,33 @@ object Dedup {
       k: Int = 8, family: HashFamily = HashFamily.XxHash64): DataFrame = {
     require(k >= 1, s"window size k must be >= 1, got $k")
     val toks = docs.select(col(idCol).as("did"), tokenSeq(col(textCol)).as("tk"))
-    val wins = toks
+    val wins = windowHashes(toks, k, family)
+    val dupW = wins.groupBy(col("wh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("wh")
+    removeCovered(toks, wins.join(dupW, Seq("wh"), "left_semi"), idCol, k)
+  }
+
+  /** `(did, wpos, wh)` rows: every k-token window of `toks(did, tk)`
+    * hashed under `family` at seed 0 (shared by [[dupSpanRemoval]] and
+    * [[graft.pipeline.Curation.spanDecontaminate]]).
+    */
+  private[pipeline] def windowHashes(
+      toks: DataFrame, k: Int, family: HashFamily): DataFrame =
+    toks
       .filter(size(col("tk")) >= k)
       .select(col("did"), posexplode(transform(
         sequence(lit(0), size(col("tk")) - k),
         i => family.hash(array_join(slice(col("tk"), i + 1, lit(k)), " "), 0)))
         .as(Seq("wpos", "wh")))
-    val dupW = wins.groupBy(col("wh")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("wh")
-    val cov = wins.join(dupW, Seq("wh"), "left_semi")
+
+  /** Coverage + rebuild tail shared by the span removers: each row of
+    * `flagged(did, wpos, …)` covers positions [wpos, wpos+k); covered
+    * positions aggregate per doc (O(doc length) array) and the kept
+    * text is rebuilt in one narrow index-lambda pass.
+    */
+  private[pipeline] def removeCovered(
+      toks: DataFrame, flagged: DataFrame, idCol: String, k: Int): DataFrame = {
+    val cov = flagged
       .select(col("did"),
         explode(sequence(col("wpos"), col("wpos") + (k - 1))).as("cpos"))
       .groupBy(col("did")).agg(collect_set(col("cpos")).as("cov"))

@@ -943,6 +943,39 @@ object Oracles {
 
     // pipe08: ta01's whitespace tokenizer; sums cast to BIGINT to match
     // Spark's sum(int)→long (DuckDB sum(INTEGER) is HUGEINT otherwise).
+    // pipe11: span decontamination — dd12's window/coverage/rebuild CTEs
+    // with the flag set = the eval split's distinct window hashes
+    // (pipe04's doc_id % 97 eval convention) instead of global count ≥ 2.
+    "pipe11_span_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'), t -> t <> '') AS tk
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id, is_eval,
+         |    unnest(range(len(tk) - 3)) AS wpos,
+         |    unnest(list_transform(range(len(tk) - 3),
+         |      i -> ${md5h1("array_to_string(tk[i+1:i+4], ' ')")})) AS wh
+         |  FROM toks WHERE len(tk) >= 4
+         |), evalw AS (
+         |  SELECT DISTINCT wh FROM wins WHERE is_eval
+         |), cov AS (
+         |  SELECT DISTINCT w.doc_id, w.wpos + offs.o AS cpos
+         |  FROM wins w JOIN evalw USING (wh)
+         |  CROSS JOIN (SELECT unnest(range(4)) AS o) offs
+         |  WHERE NOT w.is_eval
+         |), covagg AS (
+         |  SELECT doc_id, count(*) AS n_removed, list(cpos) AS cps
+         |  FROM cov GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(coalesce(c.n_removed, 0) AS INT) AS n_removed,
+         |  coalesce(array_to_string(list_filter(tk,
+         |    (x, i) -> NOT coalesce(list_contains(c.cps, i - 1), false)), ' '), '') AS kept_text
+         |FROM toks t LEFT JOIN covagg c USING (doc_id)
+         |WHERE NOT t.is_eval
+         |ORDER BY doc_id""".stripMargin,
+
     // pipe10: cross-source overlap — dd05's tokenizer/shingle CTEs with
     // source as the set key; inner join, so only overlapping pairs list
     // (matches the Spark side's inner shape).

@@ -287,6 +287,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // span-level eval decontamination (remove the k-token spans shared
+    // with the eval split; pipe04's doc_id % 97 eval convention; k=4
+    // fires on 8 train docs at this corpus scale — k=8 finds no
+    // cross-split verbatim runs in the synthetic text) — FULL oracle
+    "pipe11_span_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.spanDecontaminate(
+          dd.filter(col("doc_id") % 97 =!= 0),
+          dd.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 4, family = HashFamily.Md5)
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-source shingle-overlap matrix (Jaccard + both directed
     // containments per source pair) — FULL oracle
     "pipe10_source_overlap" -> ((s, d) => {

@@ -646,6 +646,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != c, "seed must change the assignment")
   }
 
+  test("spanDecontaminate: eval-shared spans excised, train-only repeats kept") {
+    val span = (1 to 8).map(i => s"ev$i").mkString(" ")
+    val train = Seq(
+      (1L, s"keep1 keep2 $span keep3"),      // eval span mid-doc → excised
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),    // no eval overlap → untouched
+      (3L, s"$span"),                        // doc IS the eval span
+      (4L, "short doc"),                     // < k tokens → untouched
+      (5L, "t1 t2 t3 t4 t5 t6 t7 t8")        // repeats doc 2's window —
+                                             // train-internal, NOT excised
+                                             // (that's dd12's job)
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"prefix $span suffix")).toDF("doc_id", "text")
+    for (fam <- Seq(HashFamily.XxHash64, HashFamily.Md5)) {
+      val got = Curation.spanDecontaminate(train, eval_, "doc_id", "text",
+          k = 8, family = fam)
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, 11, 8, "keep1 keep2 keep3"),
+        (2L, 9, 0, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+        (3L, 8, 8, ""),
+        (4L, 2, 0, "short doc"),
+        (5L, 8, 0, "t1 t2 t3 t4 t5 t6 t7 t8")), s"family $fam")
+    }
+  }
+
   test("sourceOverlapMatrix: hand-computed pair, zero-overlap pairs absent") {
     val docs = Seq(
       (1L, "s1", "a b c d"),   // shingles: "a b c", "b c d"
