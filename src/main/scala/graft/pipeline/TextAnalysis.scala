@@ -175,6 +175,35 @@ object TextAnalysis {
         frac(col("dup5"), col("tot5")).as("dup5_frac"))
   }
 
+  /** Corpus n-gram count table for all n in [1, maxN] with a
+    * minimum-count floor — the artifact a CCNet-style pipeline trains
+    * its count LM / quality scorer from, and the lookup side of
+    * frequency-based filtering. ONE corpus scan: every n's grams ride
+    * the same tagged explode ([[repetitionSignals]]' single-Generate
+    * trick — not one scan + shuffle pair per n); the per-(doc, n, gram)
+    * pre-aggregate is map-side-combined and feeds BOTH cf (sum) and df
+    * (row count, already unique per doc) in one second-level groupBy.
+    * `minCount` prunes the singleton long tail from the OUTPUT (the
+    * count must aggregate before it can be thresholded).
+    */
+  def ngramCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 3, minCount: Int = 2): DataFrame = {
+    require(maxN >= 1 && minCount >= 1)
+    val Ns = 1 to maxN
+    val tagged = docs
+      .select(col(idCol), Dedup.tokenSeq(col(textCol)).as("tk"))
+      .select(col(idCol), explode(flatten(array(Ns.map(n =>
+        transform(ngrams(col("tk"), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("gram"))
+    tagged
+      .groupBy(col(idCol), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"), col("gram"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= minCount)
+  }
+
   /** Tokenizer-vocabulary builder: global top-k tokens by collection
     * frequency (ties broken by token ASC, rank deterministic), with
     * document frequency alongside — the vocab/most-common-pieces step of

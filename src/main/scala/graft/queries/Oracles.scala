@@ -1071,6 +1071,27 @@ object Oracles {
         |FROM tok GROUP BY 1
         |ORDER BY cf DESC, token ASC LIMIT 30""".stripMargin,
 
+    // ta09: the n-gram count table — one tagged unnest per (doc, n),
+    // the same two aggregate levels as the Spark side.
+    "ta09_ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\W+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), tagged AS (
+        |  SELECT doc_id, n,
+        |    unnest(CASE WHEN len(tk) < n THEN []
+        |      ELSE list_transform(range(len(tk) - n + 1), i -> array_to_string(tk[i+1:i+n], ' '))
+        |    END) AS gram
+        |  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+        |), perdoc AS (
+        |  SELECT doc_id, n, gram, count(*) AS c FROM tagged GROUP BY 1, 2, 3
+        |)
+        |SELECT n, gram, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df
+        |FROM perdoc GROUP BY 1, 2
+        |HAVING sum(c) >= 3
+        |ORDER BY n, gram""".stripMargin,
+
     // ta08: per-doc top-5 TF-IDF, LINEAR idf n_docs/df — one IEEE
     // division + one multiply, bit-identical cross-engine; ranking uses
     // the UNROUNDED score (ties by token asc), display rounds to 6.

@@ -345,6 +345,14 @@ object PipelineQueries {
         .orderBy(col("cf").desc, col("token").asc)
     }),
 
+    // corpus 1..3-gram count table, cf >= 3 (the CCNet-style count-LM
+    // prep artifact) — FULL oracle
+    "ta09_ngram_counts" -> ((s, d) => {
+      TextAnalysis.ngramCounts(docs(s, d), "doc_id", "text",
+          maxN = 3, minCount = 3)
+        .orderBy(col("n"), col("gram"))
+    }),
+
     // per-doc top-5 TF-IDF terms (linear idf — bit-identical IEEE ops
     // cross-engine; ranks tie-broken by token before rounding) —
     // FULL oracle

@@ -580,6 +580,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(4L) == ((1.0, 1.0, 1.0, 1.0)))
   }
 
+  test("ngramCounts: hand-computed cf/df across n, minCount floor") {
+    val docs = Seq(
+      (1L, "a b a b"),   // 1-grams: a×2 b×2; 2-grams: "a b"×2, "b a"×1
+      (2L, "a b c")      // 1-grams: a b c; 2-grams: "a b", "b c"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramCounts(docs, "doc_id", "text",
+        maxN = 2, minCount = 2)
+      .as[(Int, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1, "a", 3L, 2L), (1, "b", 3L, 2L),          // c dropped (cf=1)
+      (2, "a b", 3L, 2L)))                          // "b a"/"b c" dropped
+  }
+
   test("tfidfTopTerms: hand-computed linear-idf scores, token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana"),
