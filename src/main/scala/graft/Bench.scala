@@ -25,7 +25,8 @@ object Bench {
     "q08_running_sum", "q16_conditional_agg",
     "dd01_exact_dups", "dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
     "dd12_dup_span_removal", "ann01_topk_bruteforce", "ta01_token_stats",
-    "ta02_quality", "ta08_tfidf", "pipe10_source_overlap",
+    "ta02_quality", "ta08_tfidf", "ta09_ngram_counts",
+    "pipe10_source_overlap", "pipe11_span_decontaminate",
     "mm01_media_meta")
 
   def main(args: Array[String]): Unit = {

@@ -118,7 +118,17 @@ object PlanDump {
         ("Cross-source overlap matrix: one distinct (source, shingle) " +
           "exchange, per-source sizes, shingle-key self-join with fan-out " +
           "bounded by C(#sources, 2) per shingle — linear in distinct " +
-          "shingles, never doc-quadratic."))
+          "shingles, never doc-quadratic."),
+      "pipe11_span_decontaminate" ->
+        ("Span decontamination: dd12's window/coverage/rebuild plan with " +
+          "the flag set swapped to the eval split's distinct window " +
+          "hashes (broadcast — eval sets are small; shuffle-hash knob " +
+          "for huge ones)."),
+      "ta09_ngram_counts" ->
+        ("N-gram count table: ONE tagged Generate carries every n's " +
+          "grams (not a scan+shuffle pair per n), then two " +
+          "partial-aggregatable groupBy levels; minCount filters the " +
+          "aggregated output."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")
