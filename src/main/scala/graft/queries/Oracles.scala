@@ -943,6 +943,39 @@ object Oracles {
 
     // pipe08: ta01's whitespace tokenizer; sums cast to BIGINT to match
     // Spark's sum(int)→long (DuckDB sum(INTEGER) is HUGEINT otherwise).
+    // dd13: the committed span index — by the partial-count merge
+    // argument (integer sums are associative) the incremental result
+    // must equal the inline dd12 over the whole corpus restricted to
+    // the batch, so the oracle IS dd12's SQL plus the batch filter.
+    "dd13_span_committed" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\W+'), t -> t <> '') AS tk
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id,
+         |    unnest(range(len(tk) - 7)) AS wpos,
+         |    unnest(list_transform(range(len(tk) - 7),
+         |      i -> ${md5h1("array_to_string(tk[i+1:i+8], ' ')")})) AS wh
+         |  FROM toks WHERE len(tk) >= 8
+         |), dup AS (
+         |  SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT w.doc_id, w.wpos + offs.o AS cpos
+         |  FROM wins w JOIN dup USING (wh)
+         |  CROSS JOIN (SELECT unnest(range(8)) AS o) offs
+         |), covagg AS (
+         |  SELECT doc_id, count(*) AS n_removed, list(cpos) AS cps
+         |  FROM cov GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(coalesce(c.n_removed, 0) AS INT) AS n_removed,
+         |  coalesce(array_to_string(list_filter(tk,
+         |    (x, i) -> NOT coalesce(list_contains(c.cps, i - 1), false)), ' '), '') AS kept_text
+         |FROM toks t LEFT JOIN covagg c USING (doc_id)
+         |WHERE t.doc_id % 4 = 0
+         |ORDER BY doc_id""".stripMargin,
+
     // pipe11: span decontamination — dd12's window/coverage/rebuild CTEs
     // with the flag set = the eval split's distinct window hashes
     // (pipe04's doc_id % 97 eval convention) instead of global count ≥ 2.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Curation, Dedup, HashFamily, MinHashIndex, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, HashFamily, MinHashIndex, Multimodal, Similarity, SpanIndex, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,22 @@ object PipelineQueries {
     "dd12_dup_span_removal" -> ((s, d) => {
       Dedup.dupSpanRemoval(docs(s, d), "doc_id", "text", k = 8,
           family = HashFamily.Md5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // committed span-census index: build on 3/4 of the corpus, flag the
+    // remaining 1/4 as an incoming batch BEFORE appending it (the ingest
+    // order) — output must equal the inline dd12 over the WHOLE corpus
+    // restricted to the batch, which is exactly what the oracle
+    // recomputes (dd12's SQL + the batch filter) — FULL oracle
+    "dd13_span_committed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val store = new graft.store.SnapshotStore(
+        java.nio.file.Files.createTempDirectory("dd-spans").toString, s)
+      SpanIndex.build(store, 0, dd.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", k = 8, family = HashFamily.Md5)
+      SpanIndex.dupSpanRemovalFor(store, dd.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", k = 8, family = HashFamily.Md5)
         .orderBy(col("doc_id"))
     }),
 

@@ -659,6 +659,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != c, "seed must change the assignment")
   }
 
+  /** SpanIndex lifecycle: every batch flagged BEFORE its append must
+    * equal the inline dupSpanRemoval over everything ingested so far
+    * (restricted to the batch) — including cross-batch duplicated spans
+    * that only the committed census can see; compaction must not change
+    * results, and post-compaction appends must still count.
+    */
+  test("SpanIndex: incremental flag+append ≡ inline over the union; survives compaction") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val b1 = Seq((1L, s"one two $span three"), (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, s"head $span tail"), (11L, "v1 v2 v3 v4 v5 v6 v7 v8"))
+      .toDF("doc_id", "text")
+    val b3 = Seq((20L, "u1 u2 u3 u4 u5 u6 u7 u8 zz"), (21L, "w1 w2"))
+      .toDF("doc_id", "text")
+    val store = new graft.store.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("span-idx").toString, spark)
+    def inlineFor(batch: org.apache.spark.sql.DataFrame, all: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Int, String)] = {
+      val ids = batch.select("doc_id").as[Long].collect().toSet
+      Dedup.dupSpanRemoval(all, "doc_id", "text")
+        .as[(Long, Int, Int, String)].collect().filter(r => ids(r._1))
+        .sortBy(_._1).toSeq
+    }
+    def committedFor(batch: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Int, String)] =
+      SpanIndex.dupSpanRemovalFor(store, batch, "doc_id", "text")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+
+    SpanIndex.build(store, 0, b1, "doc_id", "text")
+    // batch 2: doc 10 shares the span with committed doc 1 — a
+    // cross-batch duplicate only the census can flag
+    val got2 = committedFor(b2)
+    assert(got2 == inlineFor(b2, b1.unionAll(b2)))
+    assert(got2.exists(_._3 > 0), "cross-batch span not flagged")
+    SpanIndex.append(store, 1, b2, "doc_id", "text")
+    // compaction rewrites the census into the prefix layout
+    SpanIndex.compactPrefix(store, 2)
+    // batch 3 post-compaction: doc 20 duplicates doc 2's window
+    val got3 = committedFor(b3)
+    assert(got3 == inlineFor(b3, b1.unionAll(b2).unionAll(b3)))
+    assert(got3.exists(_._3 > 0), "post-compaction span not flagged")
+    // and a re-query of batch 2 AFTER its own append now sees its rows
+    // twice (append-first is the documented double-count hazard) —
+    // assert the contract note is real: doc 11's unique text is now
+    // "duplicated" by its own committed counts
+    val requery2 = committedFor(b2)
+    assert(requery2.find(_._1 == 11L).exists(_._3 > 0),
+      "ingest-order contract: append-first must double-count")
+  }
+
   test("spanDecontaminate: eval-shared spans excised, train-only repeats kept") {
     val span = (1 to 8).map(i => s"ev$i").mkString(" ")
     val train = Seq(
