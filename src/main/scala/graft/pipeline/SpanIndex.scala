@@ -46,7 +46,7 @@ object SpanIndex {
   def pfxCol(wh: Column): Column =
     substring(md5(wh.cast("string")), 1, PrefixLen)
 
-  private def censusRows(
+  private[graft] def censusRows(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, family: HashFamily): DataFrame =
     Dedup.windowHashes(

@@ -201,4 +201,68 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id").count().as[(Long, Long)].collect().toMap
     sessions.foreach { case (u, n) => assert(n.toLong == expected(u)) }
   }
+
+  test("streaming span dedup: census equals rebuild; verdicts exact as-of-ingest") {
+    import graft.pipeline.{Dedup, HashFamily, SpanIndex, StreamingSpanDedup}
+    val span = (1 to 8).map(i => s"sp$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $span a3"),                 // span's FIRST occurrence
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+      (10L, s"c1 $span c2"),                   // dupes doc 0 cross-file
+      (11L, "b1 b2 b3 b4 b5 b6 b7 b8 x"),      // shares doc 1's window
+      (20L, s"$span"),                         // late arrival, 3rd copy
+      (21L, "z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val docsDir = Files.createTempDirectory("span-stream-docs").toString
+    val work = Files.createTempDirectory("span-stream-work").toString
+    def writeFile(lo: Long, hi: Long, name: String): Unit =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$docsDir/$name")
+    writeFile(0, 10, "f1"); writeFile(10, 20, "f2")
+
+    val store = new graft.store.SnapshotStore(
+      Files.createTempDirectory("span-stream-store").toString, spark)
+    val n1 = StreamingSpanDedup.run(store, docsDir + "/*", docs.schema,
+      "doc_id", "text", workDir = Some(work))
+    assert(n1 == 2)
+    writeFile(20, 30, "f3")
+    val n2 = StreamingSpanDedup.run(store, docsDir + "/*", docs.schema,
+      "doc_id", "text", workDir = Some(work))
+    assert(n2 == 1, "resume must re-process only the unseen file")
+
+    // census invariant: accreted partial counts merge to a full rebuild
+    val census = store.read(SpanIndex.SpansTable)
+      .groupBy("wh").agg(sum("cnt").as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = SpanIndex.censusRows(docs, "doc_id", "text", 8,
+        HashFamily.XxHash64)
+      .select("wh", "cnt").as[(Long, Long)].collect().toMap
+    assert(census == rebuilt)
+
+    // verdicts: each batch's rows equal the inline operator over every
+    // doc ingested up to AND INCLUDING that batch, restricted to the
+    // batch (as-of-ingest semantics) — reconstructed from ingest_batch,
+    // so the assertion holds under any file-listing order
+    val verdicts = store.read(StreamingSpanDedup.VerdictsTable)
+      .as[(Long, Int, Int, String, Long)].collect()
+    val byBatch = verdicts.groupBy(_._5).toSeq.sortBy(_._1)
+    var seenIds = Set.empty[Long]
+    byBatch.foreach { case (b, rows) =>
+      val batchIds = rows.map(_._1).toSet
+      seenIds ++= batchIds
+      val ids = seenIds
+      val expected = Dedup.dupSpanRemoval(
+          docs.filter(col("doc_id").isin(ids.toSeq: _*)), "doc_id", "text")
+        .as[(Long, Int, Int, String)].collect()
+        .filter(r => batchIds(r._1)).sortBy(_._1).toSeq
+      assert(rows.map(r => (r._1, r._2, r._3, r._4)).sortBy(_._1).toSeq
+        == expected, s"batch $b verdicts diverge from as-of-ingest inline")
+    }
+    // the cross-file duplications were actually flagged
+    assert(verdicts.find(_._1 == 10L).exists(_._3 == 8))
+    assert(verdicts.find(_._1 == 11L).exists(_._3 == 8))
+    assert(verdicts.find(_._1 == 20L).exists(_._3 == 8))
+    assert(verdicts.find(_._1 == 0L).exists(_._3 == 0),
+      "first occurrence must NOT be flagged at its own ingest time")
+  }
 }
