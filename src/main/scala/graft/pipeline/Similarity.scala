@@ -360,6 +360,30 @@ object Similarity {
     * the LSH variant is the scale path). Filter on the raw cosine,
     * emit it rounded.
     */
+  /** Per-vector affine int8 quantization — the storage/bandwidth
+    * reduction step an embedding store runs before indexing (4× smaller
+    * than float32; ANN rescoring dequantizes with the carried
+    * (mn, scale)). Deterministic and cross-engine-exact: mn/mx are
+    * exact float→double casts, `scale = (mx − mn)/255` and each code
+    * `floor((x − mn)/scale + 0.5)` use only correctly-rounded IEEE ops
+    * (the ta08 linear-idf argument), and a constant vector (scale 0)
+    * quantizes to all-zero codes. Pure per-row codegen'd expressions —
+    * zero shuffles, trivially 100-TB-parallel.
+    *
+    * Output: `(idCol, mn, mx, codes ARRAY<INT>)`.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val scale = (mx - mn) / lit(255.0)
+    val codes = when(mx === mn, transform(v, _ => lit(0)))
+      .otherwise(transform(v,
+        x => floor((x.cast("double") - mn) / scale + lit(0.5)).cast("int")))
+    corpus.select(col(idCol), round(mn, 6).as("mn"), round(mx, 6).as("mx"),
+      codes.as("codes"))
+  }
+
   def exactCosinePairs(
       corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))

@@ -776,6 +776,24 @@ object Oracles {
          |FROM toks t LEFT JOIN covagg c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // ann06: affine int8 quantization — float→double casts are exact,
+    // the scale division / code rounding are single correctly-rounded
+    // IEEE ops, so codes match bit-for-bit; constant vectors hit the
+    // scale-0 branch.
+    "ann06_int8_quant" ->
+      """SELECT vec_id,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+        |  CASE WHEN list_min(embedding) = list_max(embedding)
+        |    THEN list_transform(embedding, x -> 0)
+        |    ELSE list_transform(embedding, x -> CAST(floor(
+        |      (CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+        |        / ((CAST(list_max(embedding) AS DOUBLE)
+        |            - CAST(list_min(embedding) AS DOUBLE)) / 255.0)
+        |      + 0.5) AS INT))
+        |  END AS codes
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "ann01_topk_bruteforce" ->
       """WITH u AS (
         |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

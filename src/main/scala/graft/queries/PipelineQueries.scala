@@ -104,6 +104,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-vector affine int8 quantization (exact IEEE arithmetic both
+    // engines; constant vectors → all-zero codes) — FULL oracle
+    "ann06_int8_quant" -> ((s, d) => {
+      Similarity.quantizeInt8(embs(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding near-dup pairs via multi-band hyperplane LSH + exact
     // cosine verification — FULL oracle (Md5 family planes; the DuckDB
     // twin reproduces the plane dot-product folds bit-for-bit, dd07

@@ -295,6 +295,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotProbe2 == wantProbe2, "post-compaction append broke the pruned probe")
   }
 
+  test("quantizeInt8: hand-computed codes, constant-vector zero branch") {
+    val vecs = Seq(
+      (1L, Seq(0f, 0.5f, 1f)),        // mn 0, mx 1, scale 1/255 -> 0,128,255
+      (2L, Seq(2f, 2f, 2f)),          // constant -> all-zero codes
+      (3L, Seq(-1f, 1f))              // mn -1, mx 1 -> 0, 255
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, Double, Double, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0.0, 1.0, Seq(0, 128, 255)),   // floor(0.5*255 + 0.5) = 128
+      (2L, 2.0, 2.0, Seq(0, 0, 0)),
+      (3L, -1.0, 1.0, Seq(0, 255))))
+  }
+
   test("semDeDup: one keeper per duplicate vector group, dup_of points at the min id") {
     val e0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -17,6 +17,12 @@ def norm(v):
         if v != v:  # NaN (pandas null) — compare as None
             return None
         return round(v, 9)
+    # LIST columns: numpy arrays (spark parquet) vs python lists (duckdb)
+    # — canonicalize both to tuples so tuple comparison stays scalar
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
     return v
 
 def main():
