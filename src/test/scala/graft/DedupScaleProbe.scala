@@ -41,6 +41,29 @@ object DedupScaleProbe {
         .getProcessCpuTime / 1e9
     def run(): Long =
       graft.pipeline.Dedup.minhashNearDups(docs, "doc_id", "text", tau = 0.5).count()
+    // optional 3rd arg "spanscale": duplicate-span removal (dd12's
+    // production xx64 parameterization) on the same work-rich corpus —
+    // the two-parallelism scaling evidence for the round-6 span family
+    if (args.length > 2 && args(2) == "spanscale") {
+      // aggregate over the COMPUTED columns — a bare count() lets
+      // Catalyst eliminate the unique-key left join and the whole
+      // coverage pipeline with it (measured 0.26 s for 277k docs)
+      def runSpan(): Long =
+        graft.pipeline.Dedup.dupSpanRemoval(docs, "doc_id", "text")
+          .agg(sum(col("n_removed")) + sum(length(col("kept_text"))))
+          .collect()(0).getLong(0)
+      runSpan() // warm
+      val times = (1 to reps).map { _ =>
+        val c0 = procCpuSec(); val t0 = System.nanoTime()
+        runSpan()
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0)
+      }
+      val best = times.minBy(_._1)
+      println(f"DSPAN cpus=$cpus%s docs=$nDocs%d minWall=${best._1}%.2f " +
+        f"cpuSec=${best._2}%.1f docsPerSec=${nDocs / best._1}%.0f " +
+        f"walls=[${times.map(t => f"${t._1}%.2f").mkString(", ")}]")
+      return
+    }
     // optional 3rd arg "verify_ab": same-JVM alternating A/B of the fused
     // exact-Jaccard verify vs the set-algebra composition (identical
     // signatures/bands/candidates stages), min per side — the work-rich
