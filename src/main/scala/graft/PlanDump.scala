@@ -128,7 +128,13 @@ object PlanDump {
         ("N-gram count table: ONE tagged Generate carries every n's " +
           "grams (not a scan+shuffle pair per n), then two " +
           "partial-aggregatable groupBy levels; minCount filters the " +
-          "aggregated output."))
+          "aggregated output."),
+      "dd13_span_committed" ->
+        ("Committed span census, batch probe: the batch's window hashes " +
+          "aggregate to delta counts, the census side is a hash-prefix-" +
+          "pruned committed read semi-joined to the touched hashes, the " +
+          "flag is delta+committed count >= 2, and the coverage/rebuild " +
+          "tail is dd12's."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")
