@@ -131,6 +131,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpanRemoval is partitioning-independent (layout never leaks into values)") {
+    val base = Dedup.dupSpanRemoval(nearDupDocs, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(base.exists(_._3 > 0), "fixture produced no removals — test is vacuous")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val alt = Dedup.dupSpanRemoval(nearDupDocs.repartition(7), "doc_id", "text")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+      assert(alt == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("simhash: identical text ⇒ identical hash; near-dup ⇒ small hamming") {
     val sigs = Dedup.simhash(nearDupDocs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
