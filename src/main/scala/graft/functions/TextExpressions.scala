@@ -798,7 +798,7 @@ object SimHashOps {
     */
   private val Seed = 42L
 
-  private def vote(votes: Array[Int], h: Long): Unit = {
+  private[functions] def vote(votes: Array[Int], h: Long): Unit = {
     var j = 0
     while (j < 64) {
       votes(j) += ((((h >>> j) & 1L).toInt) << 1) - 1
@@ -806,7 +806,7 @@ object SimHashOps {
     }
   }
 
-  private def pack(votes: Array[Int]): java.lang.Long = {
+  private[functions] def pack(votes: Array[Int]): java.lang.Long = {
     var acc = 0L
     var j = 0
     while (j < 64) {

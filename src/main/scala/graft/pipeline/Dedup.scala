@@ -98,21 +98,29 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64,
-      family: HashFamily = HashFamily.XxHash64): DataFrame =
-    if (family == HashFamily.XxHash64) {
-      // MinHashSigs is null iff its input is — every non-null doc has ≥1
-      // shingle (below k tokens the whole joined list, possibly "") — so
-      // the null gate is the INPUT filter, which pushes down to the scan
-      // (isnotnull over the expression would evaluate the kernel twice:
-      // once in Filter, once in Project)
-      docs.filter(col(textCol).isNotNull)
-        .select(col(idCol),
-          org.apache.spark.sql.graft.ColumnShim.column(
-            graft.functions.MinHashSigs(
-              org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)),
-              shingleK, numHashes))
-            .as("minhash"))
-    } else minhashSignaturesComposed(docs, idCol, textCol, shingleK, numHashes, family)
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // BOTH families run a fused one-byte-scan kernel (round 7 extends the
+    // round-6 xx64 fusion to the Md5 oracle parameterization — the
+    // composed explode + 64-min-aggregate structure plus the
+    // md5→hex→conv leaf chain was the dominant dd03-Md5 cost). The
+    // expression is null iff its input is — every non-null doc has ≥1
+    // shingle (below k tokens the whole joined list, possibly "") — so
+    // the null gate is the INPUT filter, which pushes down to the scan
+    // (isnotnull over the expression would evaluate the kernel twice:
+    // once in Filter, once in Project).
+    val kernel: org.apache.spark.sql.catalyst.expressions.Expression =
+      family match {
+        case HashFamily.XxHash64 => graft.functions.MinHashSigs(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)),
+          shingleK, numHashes)
+        case HashFamily.Md5 => graft.functions.Md5MinHashSigs(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)),
+          shingleK, numHashes)
+      }
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.ColumnShim.column(kernel).as("minhash"))
+  }
 
   /** the defining composition (see [[minhashSignatures]]): single
     * exploded pass, `numHashes` partial-agg mins.
@@ -145,20 +153,26 @@ object Dedup {
   def lshBands(
       signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
-      family: HashFamily = HashFamily.XxHash64): DataFrame =
-    if (family == HashFamily.XxHash64) {
-      // fused per-band kernel (graft.functions.LshBandHashes) — BAND-HASH
-      // VALUES UNCHANGED vs the composition (same comma-joined-decimal
-      // bytes, same hash chain), so committed dd_bands layouts stay
-      // bit-compatible; the posexplode survives because it IS the
-      // banding the bucket join consumes
-      signatures.select(
-        col(idCol),
-        posexplode(org.apache.spark.sql.graft.ColumnShim.column(
-          graft.functions.LshBandHashes(
-            org.apache.spark.sql.graft.ColumnShim.expression(col("minhash")),
-            bands, rowsPerBand))).as(Seq("band", "band_hash")))
-    } else lshBandsComposed(signatures, idCol, bands, rowsPerBand, family)
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // fused per-band kernels for BOTH families (LshBandHashes /
+    // Md5LshBandHashes) — BAND-HASH VALUES UNCHANGED vs the composition
+    // (same comma-joined-decimal bytes, same hash chain per family), so
+    // committed dd_bands layouts stay bit-compatible; the posexplode
+    // survives because it IS the banding the bucket join consumes
+    val kernel: org.apache.spark.sql.catalyst.expressions.Expression =
+      family match {
+        case HashFamily.XxHash64 => graft.functions.LshBandHashes(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("minhash")),
+          bands, rowsPerBand)
+        case HashFamily.Md5 => graft.functions.Md5LshBandHashes(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("minhash")),
+          bands, rowsPerBand)
+      }
+    signatures.select(
+      col(idCol),
+      posexplode(org.apache.spark.sql.graft.ColumnShim.column(kernel))
+        .as(Seq("band", "band_hash")))
+  }
 
   /** the defining composition (see [[lshBands]]): four interpreted
     * higher-order functions per band.
@@ -338,9 +352,29 @@ object Dedup {
 
   /** `(did, wpos, wh)` rows: every k-token window of `toks(did, tk)`
     * hashed under `family` at seed 0 (shared by [[dupSpanRemoval]] and
-    * [[graft.pipeline.Curation.spanDecontaminate]]).
+    * [[graft.pipeline.Curation.spanDecontaminate]]). The per-window
+    * join+hash runs as ONE fused pass over the token array
+    * ([[graft.functions.WindowHashes]], round 7) — the defining
+    * composition ([[windowHashesComposed]]) runs three nested
+    * interpreted higher-order functions and allocates a joined string
+    * per window; values are identical per family (Md5FusedSpec pins it,
+    * the dd12/dd13 oracles pin them cross-engine).
     */
   private[pipeline] def windowHashes(
+      toks: DataFrame, k: Int, family: HashFamily): DataFrame =
+    toks
+      .filter(size(col("tk")) >= k)
+      .select(col("did"), posexplode(
+        org.apache.spark.sql.graft.ColumnShim.column(
+          graft.functions.WindowHashes(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("tk")),
+            k, family == HashFamily.Md5)))
+        .as(Seq("wpos", "wh")))
+
+  /** the defining composition (see [[windowHashes]]) — the executable
+    * spec the fused kernel is property-pinned against.
+    */
+  private[graft] def windowHashesComposed(
       toks: DataFrame, k: Int, family: HashFamily): DataFrame =
     toks
       .filter(size(col("tk")) >= k)
@@ -399,25 +433,31 @@ object Dedup {
     * executable spec FastShinglesSpec pins the fused path against.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      family: HashFamily = HashFamily.XxHash64): DataFrame =
-    if (family == HashFamily.XxHash64) {
-      // the no-token drop is an INPUT-ONLY predicate, not
-      // isnotnull(simhash64(text)): Catalyst pushes a result-null filter
-      // below the projection and evaluates the kernel twice (once in
-      // Filter, once in Project). A token exists iff the LOWERCASED text
-      // contains an ASCII word char (`\W` is ASCII-only; lowercasing
-      // first covers the exotic-uppercase fallback, e.g. Kelvin sign → k)
-      // — exactly when SimHash64 is non-null, so the row set still
-      // matches the composition's explode-drop (FastShinglesSpec pins
-      // it). rlike early-exits on the first word char; a null text
-      // yields null → filtered, matching nullIntolerant.
-      docs.filter(lower(col(textCol)).rlike("\\w"))
-        .select(col(idCol),
-          org.apache.spark.sql.graft.ColumnShim.column(
-            graft.functions.SimHash64(
-              org.apache.spark.sql.graft.ColumnShim.expression(col(textCol))))
-            .as("simhash"))
-    } else simhashComposed(docs, idCol, textCol, family)
+      family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // BOTH families run a fused one-byte-scan kernel (round 7 extends
+    // the round-6 xx64 fusion to the Md5 oracle parameterization). The
+    // no-token drop is an INPUT-ONLY predicate, not
+    // isnotnull(simhash64(text)): Catalyst pushes a result-null filter
+    // below the projection and evaluates the kernel twice (once in
+    // Filter, once in Project). A token exists iff the LOWERCASED text
+    // contains an ASCII word char (`\W` is ASCII-only; lowercasing
+    // first covers the exotic-uppercase fallback, e.g. Kelvin sign → k)
+    // — exactly when the kernel is non-null (token existence is
+    // family-independent), so the row set still matches the
+    // composition's explode-drop (FastShinglesSpec/Md5FusedSpec pin
+    // it). rlike early-exits on the first word char; a null text
+    // yields null → filtered, matching nullIntolerant.
+    val kernel: org.apache.spark.sql.catalyst.expressions.Expression =
+      family match {
+        case HashFamily.XxHash64 => graft.functions.SimHash64(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)))
+        case HashFamily.Md5 => graft.functions.Md5SimHash64(
+          org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)))
+      }
+    docs.filter(lower(col(textCol)).rlike("\\w"))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.ColumnShim.column(kernel).as("simhash"))
+  }
 
   /** the defining composition (see [[simhash]]): one exploded pass,
     * 64 sum aggregates.
