@@ -113,6 +113,20 @@ object TextAnalysis {
     withVotes.withColumn("lang_pred", best)
   }
 
+  /** Fused per-doc n-gram COUNTS (`array<struct<n,gram,c>>`) — the
+    * round-7 kernel every corpus-statistics operator (ta05/ta06/ta08/
+    * ta09) explodes instead of per-occurrence gram rows: per-doc counts
+    * are complete inside a row, so the `groupBy(doc, n, gram)` exchange
+    * the compositions all paid disappears (guide §2.3/§2.4). Value-
+    * pinned against the compositions in GramCountsSpec. NOTE the
+    * contract: counts are PER ROW — the id column is carried, never
+    * grouped; all declared-query inputs have unique ids.
+    */
+  def gramCounts(text: Column, ns: Seq[Int]): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.GramCounts(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), ns))
+
   /** Word n-gram multiset of the tokenized text — NOT distinct (unlike
     * [[Dedup.shingles]]) and empty below n tokens, because repetition
     * signals need occurrence counts. Guarded: Spark's `sequence(0, -k)`
@@ -140,10 +154,45 @@ object TextAnalysis {
     * `ta05_repetition` is a hard-oracle row.
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE corpus scan: every n's grams ride the same explode tagged with
-    // n, then two partial-aggregatable groupBy levels and a
-    // conditional-agg pivot back to columns — not one scan + shuffle
-    // pair per n (4× the input reads at 100 TB for the same rows)
+    // ONE corpus scan, and (round 7) the grams arrive ALREADY COUNTED
+    // per doc from the fused [[gramCounts]] kernel — the composition's
+    // per-occurrence explode + groupBy(id, n, g) exchange is gone; the
+    // per-(id, n) stats aggregate partial-combines straight off the
+    // projection (guide §2.3/§2.4). [[repetitionSignalsComposed]] is the
+    // executable spec, GramCountsSpec pins equality.
+    val Ns = Seq(1, 2, 3, 5)
+    val stats = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(gramCounts(col(textCol), Ns)).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.c").as("c"))
+      .groupBy(col(idCol), col("n")).agg(
+        max(col("c")).as("mx"),
+        sum(col("c")).as("tot"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+    def pick(n: Int, c: String): Column = max(when(col("n") === n, col(c)))
+    def frac(num: Column, den: Column): Column =
+      round(coalesce(num.cast("double") / den, lit(0.0)), 6)
+    val wide = stats.groupBy(col(idCol)).agg(
+      pick(2, "mx").as("max2"), pick(2, "tot").as("tot2"),
+      pick(3, "mx").as("max3"), pick(3, "tot").as("tot3"),
+      pick(1, "dup").as("dup1"), pick(1, "tot").as("tot1"),
+      pick(5, "dup").as("dup5"), pick(5, "tot").as("tot5"))
+    docs.select(col(idCol))
+      .join(wide, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        frac(col("max2"), col("tot2")).as("top2_frac"),
+        frac(col("max3"), col("tot3")).as("top3_frac"),
+        frac(col("dup1"), col("tot1")).as("dup1_frac"),
+        frac(col("dup5"), col("tot5")).as("dup5_frac"))
+  }
+
+  /** the defining composition (see [[repetitionSignals]]): tagged
+    * per-occurrence explode + two groupBy levels — the executable spec
+    * GramCountsSpec pins the fused shape against.
+    */
+  private[graft] def repetitionSignalsComposed(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val Ns = Seq(1, 2, 3, 5)
     val tagged = docs
       .select(col(idCol), Dedup.tokenSeq(col(textCol)).as("tk"))
@@ -190,6 +239,29 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       maxN: Int = 3, minCount: Int = 2): DataFrame = {
     require(maxN >= 1 && minCount >= 1)
+    // round 7: grams arrive ALREADY COUNTED per doc from the fused
+    // [[gramCounts]] kernel — the composition's per-occurrence explode
+    // AND its first groupBy(doc, n, gram) exchange are gone; ONE
+    // exchange (by (n, gram), partial-combined) computes cf and df
+    // directly, since per-doc rows are unique per (n, gram) by
+    // construction. [[ngramCountsComposed]] is the executable spec,
+    // GramCountsSpec pins equality.
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(gramCounts(col(textCol), 1 to maxN)).as("t"))
+      .select(col("t.n").as("n"), col("t.gram").as("gram"), col("t.c").as("c"))
+      .groupBy(col("n"), col("gram"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= minCount)
+  }
+
+  /** the defining composition (see [[ngramCounts]]): tagged
+    * per-occurrence explode + two groupBy levels — the executable spec.
+    */
+  private[graft] def ngramCountsComposed(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 3, minCount: Int = 2): DataFrame = {
+    require(maxN >= 1 && minCount >= 1)
     val Ns = 1 to maxN
     val tagged = docs
       .select(col(idCol), Dedup.tokenSeq(col(textCol)).as("tk"))
@@ -213,6 +285,23 @@ object TextAnalysis {
     * global-top-k operator is PlanSpec-asserted to keep.
     */
   def vocabTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // round 7: per-doc token counts from the fused [[gramCounts]] kernel
+    // — the per-occurrence explode is gone, and `df` is a plain count of
+    // the (already doc-unique) rows instead of a countDistinct(id) (no
+    // Expand/distinct machinery). [[vocabTopKComposed]] is the spec.
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(gramCounts(col(textCol), Seq(1))).as("t"))
+      .select(col("t.gram").as("token"), col("t.c").as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** the defining composition (see [[vocabTopK]]) — the executable spec. */
+  private[graft] def vocabTopKComposed(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(Dedup.tokenSeq(col(textCol))).as("token"))
     tok.groupBy(col("token"))
       .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
@@ -236,6 +325,33 @@ object TextAnalysis {
     * bounded scalar (a count), passed as a literal.
     */
   def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val nDocs = docs.count()
+    // round 7: tf comes ALREADY COUNTED per doc from the fused
+    // [[gramCounts]] kernel — the per-occurrence explode and the
+    // groupBy(doc, token) exchange are gone; df aggregates the same
+    // doc-unique rows it did before. [[tfidfTopTermsComposed]] is the
+    // executable spec, GramCountsSpec pins equality.
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("did"), explode(gramCounts(col(textCol), Seq(1))).as("t"))
+      .select(col("did"), col("t.gram").as("token"), col("t.c").as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, Seq("token"))
+      .withColumn("score_raw",
+        col("tf").cast("double") * (lit(nDocs.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("did")).orderBy(col("score_raw").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("did").as(idCol), col("rnk"), col("token"), col("tf"),
+        col("df"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** the defining composition (see [[tfidfTopTerms]]) — the executable
+    * spec: per-occurrence explode + groupBy(doc, token) tf.
+    */
+  private[graft] def tfidfTopTermsComposed(
       docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val nDocs = docs.count()
     val tok = docs.select(col(idCol).as("did"),
