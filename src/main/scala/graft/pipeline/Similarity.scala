@@ -13,8 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ u[i]·v[i] in double precision. */
+  /** Σ u[i]·v[i] in double precision — the fused codegen'd kernel
+    * ([[graft.functions.DotProduct]], round 7); [[dotComposed]] is the
+    * defining interpreted-HOF composition it is property-pinned against
+    * (VecDotSpec), bit-identical including the left-fold accumulation
+    * order and the null/length-mismatch semantics.
+    */
   def dot(u: Column, v: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graft.ColumnShim.expression(u),
+        org.apache.spark.sql.graft.ColumnShim.expression(v)))
+
+  /** the defining composition (see [[dot]]) — the executable spec. */
+  private[graft] def dotComposed(u: Column, v: Column): Column =
     aggregate(zip_with(u, v, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -52,11 +64,18 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are per-VECTOR, not per-pair: computed once on each side
+    // BEFORE the crossJoin instead of twice per scored pair (round 7;
+    // score values identical — same dot/(norm·norm) doubles in the same
+    // order, ann01's exact oracle pins it)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .withColumn("nn_norm", norm(col("nn_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("score", round(dot(col("q_vec"), col("nn_vec")) /
+        (col("q_norm") * col("nn_norm")), 6))
     topKPerQuery(scored, k)
   }
 
@@ -113,16 +132,21 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nBits: Int = 8,
       family: HashFamily = HashFamily.XxHash64,
       nTables: Int = 1): DataFrame = {
-    def sigTables(df: DataFrame, id: String, idAs: String, vecAs: String): DataFrame =
+    // per-vector norms computed once per side, before the bucket join
+    // (round 7 — the bruteForceTopK argument; values identical)
+    def sigTables(df: DataFrame, id: String, idAs: String, vecAs: String,
+        normAs: String): DataFrame =
       df.select(col(id).as(idAs), col(vecCol).as(vecAs),
-        posexplode(array((0 until nTables).map(t =>
-          bandSignature(col(vecCol), nBits, t, family)): _*)).as(Seq("t", "bucket")))
-    val c = sigTables(corpus, idCol, "nn_id", "nn_vec")
-    val q = sigTables(queries, idCol, "query_id", "q_vec")
+          posexplode(array((0 until nTables).map(t =>
+            bandSignature(col(vecCol), nBits, t, family)): _*)).as(Seq("t", "bucket")))
+        .withColumn(normAs, norm(col(vecAs)))
+    val c = sigTables(corpus, idCol, "nn_id", "nn_vec", "nn_norm")
+    val q = sigTables(queries, idCol, "query_id", "q_vec", "q_norm")
     val scored = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .dropDuplicates("query_id", "nn_id")
-      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("score", round(dot(col("q_vec"), col("nn_vec")) /
+        (col("q_norm") * col("nn_norm")), 6))
     topKPerQuery(scored, k)
   }
 
@@ -151,21 +175,24 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, nBits: Int = 8, bands: Int = 1,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // per-vector norm once per corpus row (round 7), carried through the
+    // candidate union so the verify never recomputes it per pair
     val sig = corpus.select(
-      (Seq(col(idCol), col(vecCol)) ++
+      (Seq(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm")) ++
         (0 until bands).map(b =>
           bandSignature(col(vecCol), nBits, b, family).as(s"bucket_$b"))): _*)
     val candidates = (0 until bands).map { b =>
       val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-        col(s"bucket_$b").as("bucket"))
+        col("vnorm").as("norm_a"), col(s"bucket_$b").as("bucket"))
       val bb = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-        col(s"bucket_$b").as("bucket"))
+        col("vnorm").as("norm_b"), col(s"bucket_$b").as("bucket"))
       a.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
     }.reduce(_ unionByName _)
     candidates
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos", round(dot(col("vec_a"), col("vec_b")) /
+        (col("norm_a") * col("norm_b")), 6))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -216,8 +243,10 @@ object Similarity {
     for (_ <- 0 until iters) {
       val cdf = centroids.toDF("cluster_id", "cvec")
       val means = corpus
-        .crossJoin(broadcast(cdf))
-        .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 9))
+        .withColumn("v_norm", norm(col(vecCol)))
+        .crossJoin(broadcast(cdf.withColumn("c_norm", norm(col("cvec")))))
+        .withColumn("sim", round(dot(col(vecCol), col("cvec")) /
+          (col("v_norm") * col("c_norm")), 9))
         .groupBy(col(idCol))
         .agg(
           min_by(col("cluster_id"),
@@ -270,9 +299,14 @@ object Similarity {
   def assignToCentroids(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame =
+    // vector norm once per corpus row (not once per centroid pair) and
+    // centroid norms inside the tiny broadcast side (round 7; sim values
+    // identical — ann03's exact oracle pins them)
     corpus
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 9))
+      .withColumn("v_norm", norm(col(vecCol)))
+      .crossJoin(broadcast(centroids.withColumn("c_norm", norm(col("cvec")))))
+      .withColumn("sim", round(dot(col(vecCol), col("cvec")) /
+        (col("v_norm") * col("c_norm")), 9))
       .groupBy(col(idCol))
       .agg(
         min_by(col("cluster_id"),
@@ -295,11 +329,14 @@ object Similarity {
       .orderBy(col("psim").desc, col("cluster_id").asc)
     queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("psim", round(cosine(col("q_vec"), col("cvec")), 9))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .crossJoin(broadcast(centroids.withColumn("c_norm", norm(col("cvec")))))
+      .withColumn("psim", round(dot(col("q_vec"), col("cvec")) /
+        (col("q_norm") * col("c_norm")), 9))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("cluster_id"))
+      // q_norm rides along so [[scoreProbed]] reuses it per scored pair
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("cluster_id"))
   }
 
   /** Index-side half: score the probed lists, rank top-k. `index` may be
@@ -308,9 +345,12 @@ object Similarity {
     * cluster-pruned read without changing results.
     */
   def scoreProbed(index: DataFrame, qprobe: DataFrame, k: Int): DataFrame = {
-    val scored = index.join(broadcast(qprobe), Seq("cluster_id"))
+    val scored = index
+      .withColumn("nn_norm", norm(col("nn_vec")))
+      .join(broadcast(qprobe), Seq("cluster_id"))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("nn_vec")), 6))
+      .withColumn("score", round(dot(col("q_vec"), col("nn_vec")) /
+        (col("q_norm") * col("nn_norm")), 6))
     topKPerQuery(scored, k)
   }
 
@@ -344,10 +384,13 @@ object Similarity {
       .toDF("cluster_id", "cvec")
     val idx = assignToCentroids(corpus, cents, idCol, vecCol)
     val a = idx.select(col("cluster_id"), col("nn_id").as("id_a"), col("nn_vec").as("vec_a"))
+      .withColumn("norm_a", norm(col("vec_a")))
     val b = idx.select(col("cluster_id"), col("nn_id").as("id_b"), col("nn_vec").as("vec_b"))
+      .withColumn("norm_b", norm(col("vec_b")))
     val losers = a.join(b, Seq("cluster_id"))
       .filter(col("id_b") < col("id_a"))
-      .filter(round(cosine(col("vec_a"), col("vec_b")), 6) >= tau)
+      .filter(round(dot(col("vec_a"), col("vec_b")) /
+        (col("norm_a") * col("norm_b")), 6) >= tau)
       .groupBy(col("id_a"))
       .agg(min(col("id_b")).as("dup_of"))
     idx.select(col("nn_id").as(idCol), col("cluster_id"))
@@ -386,11 +429,16 @@ object Similarity {
 
   def exactCosinePairs(
       corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    // per-vector norms once per side, not per pair (round 7; values
+    // identical — dd07's exact oracle pins it)
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .withColumn("norm_a", norm(col("vec_a")))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      .withColumn("norm_b", norm(col("vec_b")))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("c", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("c", dot(col("vec_a"), col("vec_b")) /
+        (col("norm_a") * col("norm_b")))
       .filter(col("c") >= tau)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }
