@@ -293,6 +293,49 @@ object Curation {
   def sourceOverlapMatrix(
       docs: DataFrame, srcCol: String, textCol: String,
       shingleK: Int = 3): DataFrame = {
+    // round 7 reshape (values identical — pipe10's exact oracle pins
+    // them; [[sourceOverlapMatrixComposed]] is the executable spec):
+    // ONE corpus-sized exchange total. The composed form's
+    // distinct → (sizes + shingle-key self-join) re-derives the
+    // corpus-scan subtree three times and shuffles the distinct
+    // (source, shingle) rows again for the join; instead, group BY
+    // SHINGLE once with a partial-combined collect_set(source) — the
+    // per-shingle source set is bounded by #sources, always tiny — and
+    // derive BOTH the per-source sizes and the per-pair intersection
+    // counts from that driver-free, shingle-count-sized table. The
+    // source-pair fan-out per shingle stays ≤ C(#sources, 2).
+    val bySh = docs
+      .select(col(srcCol).as("source"),
+        explode(Dedup.shingleSet(col(textCol), shingleK)).as("sh"))
+      .groupBy(col("sh")).agg(collect_set(col("source")).as("srcs"))
+    val sizes = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = bySh
+      .select(col("srcs"), explode(col("srcs")).as("source_a"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("i"), col("sz_a"),
+        col("sz_b"),
+        round(col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")), 6)
+          .as("jaccard"),
+        round(col("i").cast("double") / col("sz_a"), 6).as("containment_a"),
+        round(col("i").cast("double") / col("sz_b"), 6).as("containment_b"))
+  }
+
+  /** the defining composition (see [[sourceOverlapMatrix]]): distinct
+    * (source, shingle) rows + shingle-key self-join — the executable
+    * spec the grouped reshape is property-pinned against
+    * (GramCountsSpec).
+    */
+  private[graft] def sourceOverlapMatrixComposed(
+      docs: DataFrame, srcCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
     val sh = docs.select(col(srcCol).as("source"),
         explode(Dedup.shingleSet(col(textCol), shingleK)).as("sh"))
       .distinct()
