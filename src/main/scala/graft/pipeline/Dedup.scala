@@ -264,7 +264,13 @@ object Dedup {
     // SEMI deduplicates by construction)
     val candIds = pairs.select(col("id_a").as("cid"))
       .unionAll(pairs.select(col("id_b").as("cid")))
-    val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+    // null-text docs drop here in BOTH shapes (advice fix, round 7): the
+    // composition's explode drops them implicitly, while the fused
+    // SortedShingleSet is null-intolerant and would otherwise keep the
+    // pair with null i/sz/jaccard — the explicit filter makes
+    // fused ≡ composed hold for null text too (FastShinglesSpec case)
+    val cand = docs.filter(col(textCol).isNotNull)
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
     val sets = cand.select(col(idCol).as("sid"),
       org.apache.spark.sql.graft.ColumnShim.column(
         graft.functions.SortedShingleSet(
@@ -293,7 +299,8 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val candIds = pairs.select(col("id_a").as("cid"))
       .unionAll(pairs.select(col("id_b").as("cid")))
-    val cand = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+    val cand = docs.filter(col(textCol).isNotNull)
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
     val sh = cand.select(col(idCol).as("jid"),
       explode(shingleSet(col(textCol), shingleK)).as("sh"))
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("sz"))

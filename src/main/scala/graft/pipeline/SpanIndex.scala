@@ -109,8 +109,14 @@ object SpanIndex {
     // touched prefixes: bounded by 16^PrefixLen = 256 strings driver-side
     val prefixes = wins.select(pfxCol(col("wh")).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq
-    val committed = store.readPrefixPruned(SpansTable, prefixes)
-      .getOrElse(store.read(SpansTable))
+    // a store without the census table (shared store, nothing built yet)
+    // reduces to an empty census — the inline operator over the batch
+    // alone (advice fix, round 7)
+    val committed =
+      if (!store.latestSnapshot.exists(s => store.tablesAt(s).contains(SpansTable)))
+        wins.select(col("wh"), lit(0L).as("cnt"), lit("").as("pfx")).limit(0)
+      else store.readPrefixPruned(SpansTable, prefixes)
+        .getOrElse(store.read(SpansTable))
     val commCnt = committed
       .join(deltaCnt.select(col("wh")), Seq("wh"), "left_semi")
       .groupBy(col("wh")).agg(sum(col("cnt")).as("cc"))

@@ -96,7 +96,10 @@ object StreamingDedup {
         val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
         if (!replayed && batch.count() > 0) {
           val snap = store.latestSnapshot.map(_ + 1).getOrElse(0)
-          val hasPrev = store.latestSnapshot.isDefined
+          // first-batch detection checks for THIS pipeline's tables, not
+          // just any snapshot (shared-store hazard — advice fix, round 7)
+          val hasPrev = store.latestSnapshot.exists(s =>
+            store.tablesAt(s).contains(DocsTable))
           // both MinHashIndex layout keys ride along so a streaming-built
           // table accepts the same compactPrefix maintenance
           val delta = MinHashIndex.bandRows(

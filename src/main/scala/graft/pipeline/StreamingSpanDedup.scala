@@ -76,7 +76,12 @@ object StreamingSpanDedup {
         val batch = batch0.select(col(idCol), col(textCol)).localCheckpoint()
         if (!replayed && batch.count() > 0) {
           val snap = store.latestSnapshot.map(_ + 1).getOrElse(0)
-          val hasPrev = store.latestSnapshot.isDefined
+          // first-batch detection must check for the CENSUS table, not
+          // just any snapshot: on a store shared with another pipeline
+          // the first span batch would otherwise take the committed path
+          // and read a table that does not exist (advice fix, round 7)
+          val hasPrev = store.latestSnapshot.exists(s =>
+            store.tablesAt(s).contains(SpanIndex.SpansTable))
           // flag BEFORE append (SpanIndex's ingest-order contract); the
           // very first batch has no census yet — its verdicts are the
           // inline operator over the batch alone, which is exactly what

@@ -55,90 +55,97 @@ object CrawlQueries {
     * definition the driver surface ([[all]]) AND the cross-implementation
     * twin spec (CrawlTwinSpec, over differently-shaped fixture crawls)
     * share, so the twin diffs the exact query programs the driver runs.
+    *
+    * One BUILDER per query (round 7, the advice fix): fetching one
+    * query's DataFrame reads only that query's tables — the previous
+    * eager `Map[String, DataFrame]` read all 11 store tables (throwing
+    * if any was absent) and ran crawl10's view-registration side effects
+    * as a byproduct of building ANY query. [[Names]] derives from the
+    * builder map, so the two can never drift.
     */
-  def over(st: SnapshotStore, s: SparkSession): Map[String, DataFrame] = Map(
+  private val builders: Map[String, (SnapshotStore, SparkSession) => DataFrame] = Map(
     // the golden crawl order (K5)
-    "crawl01_log" -> st.read("crawl_log").orderBy("seq"),
+    "crawl01_log" -> ((st, _) => st.read("crawl_log").orderBy("seq")),
 
     // domain lifecycle table after the run
-    "crawl02_domains" ->
+    "crawl02_domains" -> ((st, _) =>
       st.read("domains")
         .select("host", "is_up", "dead_in_a_row", "first_seen_round",
           "last_visited_round", "last_alive_round", "is_fake", "genuine_host",
           "pages_crawled", "server", "powered_by")
-        .orderBy("host"),
+        .orderBy("host")),
 
     // exact URL-seen set
-    "crawl03_seen" ->
-      st.read("seen").select("fingerprint", "url").orderBy("fingerprint"),
+    "crawl03_seen" -> ((st, _) =>
+      st.read("seen").select("fingerprint", "url").orderBy("fingerprint")),
 
     // link-graph degrees (J5)
-    "crawl04_link_degrees" ->
+    "crawl04_link_degrees" -> ((st, _) =>
       Lookups.linkDegrees(st.read("links"))
-        .orderBy(col("in_degree").desc, col("host").asc).limit(20),
+        .orderBy(col("in_degree").desc, col("host").asc).limit(20)),
 
     // full-text search: multi-match query over the COMMITTED pages_fts
     // index (K2 — maintained incrementally by the loop, not rebuilt here)
-    "crawl05_search" ->
+    "crawl05_search" -> ((st, _) =>
       Search.query(st.read("pages_fts"),
-        "hidden market directory", page = 0, pageSize = 10),
+        "hidden market directory", page = 0, pageSize = 10)),
 
     // inverted lookup: top emails by distinct host count (J7)
-    "crawl06_top_emails" ->
-      Lookups.topFacts(st.read("emails"), 15),
+    "crawl06_top_emails" -> ((st, _) =>
+      Lookups.topFacts(st.read("emails"), 15)),
 
     // clone/fake marking (J6/A6)
-    "crawl07_clones" ->
+    "crawl07_clones" -> ((st, _) =>
       st.read("domains").filter(col("is_fake"))
-        .select("host", "genuine_host").orderBy("host"),
+        .select("host", "genuine_host").orderBy("host")),
 
     // alive/dead transition edges (W4)
-    "crawl08_transitions" ->
+    "crawl08_transitions" -> ((st, _) =>
       Alive.transitions(st.read("pages"))
-        .orderBy("host", "round"),
+        .orderBy("host", "round")),
 
     // per-round scheduling metrics rollup (A7)
-    "crawl09_metrics" ->
+    "crawl09_metrics" -> ((st, _) =>
       st.read("metrics").groupBy("round")
         .agg(sum("urls_in").as("urls_in"), sum("denied").as("denied"),
           sum("deduped").as("deduped"), sum("scheduled").as("scheduled"),
           sum("fetched").as("fetched"), sum("new_onions").as("new_onions"))
-        .orderBy("round"),
+        .orderBy("round")),
 
     // shared-SSH-key lookup: reused infrastructure corroborating clone
     // flags (J7 + the A6 "matching SSH fp" rule)
-    "crawl11_ssh_lookup" ->
+    "crawl11_ssh_lookup" -> ((st, _) =>
       Lookups.sharedInfrastructure(st.read("ssh_fps"), st.read("domains"))
-        .orderBy("ssh_fp", "host"),
+        .orderBy("ssh_fp", "host")),
 
     // portscan listing per host (the reference's port-scan page): every
     // open port observed for the host, latest observation round
-    "crawl12_ports" ->
+    "crawl12_ports" -> ((st, _) =>
       st.read("open_ports")
         .groupBy(col("host"), col("value").cast("int").as("port"))
         .agg(max(col("round")).as("last_seen_round"))
-        .orderBy(col("host"), col("port")),
+        .orderBy(col("host"), col("port"))),
 
     // media half of the interleaved span contract: every media_ref of a
     // fetched page, span-ordered (the reference's text+media documents)
-    "crawl13_media" ->
+    "crawl13_media" -> ((st, _) =>
       st.read("media_refs")
         .groupBy(col("host"), col("media_ref"))
         .agg(max(col("round")).as("last_seen_round"), count(lit(1)).as("n_obs"))
-        .orderBy(col("host"), col("media_ref")),
+        .orderBy(col("host"), col("media_ref"))),
 
     // host-importance PageRank over the committed link graph (fixed 10
     // iterations, dangling mass redistributed; deterministic — rows-only:
     // engine-internal input; RankSpec pins values vs a local reference)
-    "crawl14_pagerank" ->
+    "crawl14_pagerank" -> ((st, _) =>
       graft.analytics.Rank.pageRank(st.read("links"))
         .select(col("host"), round(col("rank"), 8).as("rank"))
         .orderBy(col("rank").desc, col("host").asc)
-        .limit(20),
+        .limit(20)),
 
     // SQL entry point over registered snapshot views + JSON projection
     // (the Flask/JSON API surface, SURVEY.md §4.2 / K3)
-    "crawl10_sql_api" -> {
+    "crawl10_sql_api" -> ((st, s) => {
       graft.analytics.Api.registerViews(st, s)
       val top = graft.analytics.Api.sql(s,
         """SELECT d.host, d.is_up, count(p.url) AS n_pages
@@ -146,19 +153,19 @@ object CrawlQueries {
           |GROUP BY d.host, d.is_up
           |ORDER BY n_pages DESC, d.host ASC LIMIT 15""".stripMargin)
       graft.analytics.Api.asJsonLines(top)
-    })
+    }))
 
-  /** [[over]]'s keys — static because building [[over]]'s map reads the
-    * store eagerly, and [[all]] must stay lazy until a query is invoked.
+  /** [[builders]] per-store view for the twin spec: thunks, so fetching
+    * one query's DataFrame never reads another query's tables.
     */
-  val Names: Seq[String] = Seq(
-    "crawl01_log", "crawl02_domains", "crawl03_seen", "crawl04_link_degrees",
-    "crawl05_search", "crawl06_top_emails", "crawl07_clones",
-    "crawl08_transitions", "crawl09_metrics", "crawl10_sql_api",
-    "crawl11_ssh_lookup", "crawl12_ports", "crawl13_media", "crawl14_pagerank")
+  def over(st: SnapshotStore, s: SparkSession): Map[String, () => DataFrame] =
+    builders.map { case (name, f) => name -> (() => f(st, s)) }
+
+  /** derived from [[builders]] — can't drift from the query set. */
+  val Names: Seq[String] = builders.keys.toSeq.sorted
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    Names.map { name =>
-      name -> ((s: SparkSession, _: String) => over(store(s), s)(name))
-    }.toMap
+    builders.map { case (name, f) =>
+      name -> ((s: SparkSession, _: String) => f(store(s), s))
+    }
 }

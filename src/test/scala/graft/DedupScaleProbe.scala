@@ -89,6 +89,55 @@ object DedupScaleProbe {
         f"composed=[${side(true).map(w => f"$w%.2f").mkString(", ")}]")
       return
     }
+    // optional 3rd arg "gram_ab": round-7 work-rich A/B of the fused
+    // per-doc gram-count ta09 shape (one exchange) vs the tagged
+    // per-occurrence composition (two exchanges) — the structural
+    // evidence the floor-bound sf0.1 timings can't show
+    if (args.length > 2 && args(2) == "gram_ab") {
+      import graft.pipeline.TextAnalysis
+      def pipeline(composed: Boolean): Long =
+        (if (composed) TextAnalysis.ngramCountsComposed(docs, "doc_id", "text", 3, 3)
+         else TextAnalysis.ngramCounts(docs, "doc_id", "text", 3, 3)).count()
+      pipeline(false); pipeline(true) // warm both sides
+      def timed(composed: Boolean): (Double, Double) = {
+        val c0 = procCpuSec(); val t0 = System.nanoTime()
+        pipeline(composed)
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0)
+      }
+      val walls = (1 to reps).flatMap(_ => Seq(false -> timed(false), true -> timed(true)))
+      def side(c: Boolean) = walls.collect { case (`c`, w) => w }
+      println(f"DGRAM_AB cpus=$cpus%s docs=$nDocs%d " +
+        f"fusedMin=${side(false).map(_._1).min}%.2f@${side(false).minBy(_._1)._2}%.0fcpu " +
+        f"composedMin=${side(true).map(_._1).min}%.2f@${side(true).minBy(_._1)._2}%.0fcpu " +
+        f"fused=[${side(false).map(w => f"${w._1}%.2f").mkString(", ")}] " +
+        f"composed=[${side(true).map(w => f"${w._1}%.2f").mkString(", ")}]")
+      return
+    }
+    // optional 3rd arg "overlap_ab": round-7 work-rich A/B of the
+    // grouped pipe10 shape (collect_set by shingle, one corpus exchange)
+    // vs the distinct + self-join composition (three scan subtrees)
+    if (args.length > 2 && args(2) == "overlap_ab") {
+      import graft.pipeline.Curation
+      val srcDocs = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+      def pipeline(composed: Boolean): Long =
+        (if (composed) Curation.sourceOverlapMatrixComposed(srcDocs, "source", "text")
+         else Curation.sourceOverlapMatrix(srcDocs, "source", "text")).count()
+      pipeline(false); pipeline(true) // warm both sides
+      def timed(composed: Boolean): (Double, Double) = {
+        val c0 = procCpuSec(); val t0 = System.nanoTime()
+        pipeline(composed)
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0)
+      }
+      val walls = (1 to reps).flatMap(_ => Seq(false -> timed(false), true -> timed(true)))
+      def side(c: Boolean) = walls.collect { case (`c`, w) => w }
+      println(f"DOVERLAP_AB cpus=$cpus%s docs=$nDocs%d " +
+        f"groupedMin=${side(false).map(_._1).min}%.2f@${side(false).minBy(_._1)._2}%.0fcpu " +
+        f"composedMin=${side(true).map(_._1).min}%.2f@${side(true).minBy(_._1)._2}%.0fcpu " +
+        f"grouped=[${side(false).map(w => f"${w._1}%.2f").mkString(", ")}] " +
+        f"composed=[${side(true).map(w => f"${w._1}%.2f").mkString(", ")}]")
+      return
+    }
     run() // warm
     val times = (1 to reps).map { _ =>
       val c0 = procCpuSec(); val t0 = System.nanoTime()

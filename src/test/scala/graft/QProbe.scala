@@ -80,6 +80,12 @@ object QProbe {
               graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
               graft.pipeline.HashFamily.XxHash64),
             "doc_id", maxHamming = 8).count()
+        case "dd12_xx64" => () =>
+          // production family: xxhash64 window keys (Bench's
+          // dd12_dupspan_xx64 series)
+          graft.pipeline.Dedup.dupSpanRemoval(
+            graft.queries.PipelineQueries.docs(spark, sfDir), "doc_id", "text",
+            k = 8).count()
         case "ta04_xx64" => () =>
           // production family: the fused WinnowFp fingerprint stage
           graft.pipeline.TextAnalysis.winnowingFingerprint(

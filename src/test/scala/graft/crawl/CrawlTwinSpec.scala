@@ -103,7 +103,7 @@ class CrawlTwinSpec extends AnyFunSuite {
     // RankSpec pins it against a dense local reference.
     val queries = CrawlQueries.over(st, spark)
     def dumpQuery(file: String, name: String): Unit =
-      dump(file, queries(name).collect().toSeq.map(r =>
+      dump(file, queries(name)().collect().toSeq.map(r =>
         (0 until r.size).map(i => fmt(r.get(i))).mkString("\t")))
     dumpQuery("q_crawl04_link_degrees.tsv", "crawl04_link_degrees")
     dumpQuery("q_crawl05_search.tsv", "crawl05_search")

@@ -226,12 +226,13 @@ class FastShinglesSpec extends AnyFunSuite {
     val docs = (0L until 60L).map { id =>
       val n = rnd.nextInt(30)
       (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
-    } :+ (60L, "") :+ (61L, "alpha beta Gamma") :+ (62L, "alpha beta Gamma")
+    } :+ (60L, "") :+ (61L, "alpha beta Gamma") :+ (62L, "alpha beta Gamma") :+
+      (63L, null.asInstanceOf[String]) // round-7 advice fix: both shapes drop the pair
     val docsDf = docs.toDF("doc_id", "text")
     val pairs = (0 until 120).map { _ =>
       val a = rnd.nextInt(63).toLong; val b = rnd.nextInt(63).toLong
       (math.min(a, b), math.max(a, b) + (if (a == b) 1 else 0))
-    }.distinct ++ Seq((61L, 62L), (60L, 61L), (5L, 999L)) // identical, empty-vs-text, dangling id
+    }.distinct ++ Seq((61L, 62L), (60L, 61L), (5L, 999L), (5L, 63L)) // identical, empty-vs-text, dangling id, null-text
     val pairsDf = pairs.toDF("id_a", "id_b")
     for (k <- Seq(1, 3)) {
       val got = Dedup.exactJaccard(docsDf, pairsDf, "doc_id", "text", k)

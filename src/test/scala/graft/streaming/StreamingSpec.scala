@@ -265,4 +265,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts.find(_._1 == 0L).exists(_._3 == 0),
       "first occurrence must NOT be flagged at its own ingest time")
   }
+
+  test("streaming span dedup on a SHARED store: first batch takes the inline path") {
+    // advice fix (round 7): first-batch detection must check for the
+    // census TABLE, not just any snapshot — a store already holding an
+    // unrelated pipeline's tables used to route the first span batch to
+    // the committed path and throw on the missing dd_spans read
+    import graft.pipeline.{Dedup, SpanIndex, StreamingSpanDedup}
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 b9")).toDF("doc_id", "text")
+    val docsDir = Files.createTempDirectory("span-shared-docs").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$docsDir/f1")
+    val store = new graft.store.SnapshotStore(
+      Files.createTempDirectory("span-shared-store").toString, spark)
+    // unrelated pipeline committed first — snapshot exists, census doesn't
+    store.commit(0, overwrite = Map("unrelated" -> docs), append = Map.empty)
+    val n = StreamingSpanDedup.run(store, docsDir + "/*", docs.schema,
+      "doc_id", "text",
+      workDir = Some(Files.createTempDirectory("span-shared-work").toString))
+    assert(n == 1)
+    val got = store.read(StreamingSpanDedup.VerdictsTable)
+      .as[(Long, Int, Int, String, Long)].collect().sortBy(_._1)
+      .map(r => (r._1, r._2, r._3, r._4)).toSeq
+    val want = Dedup.dupSpanRemoval(docs, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == want, "shared-store first batch must equal the inline operator")
+    // and the census landed next to the unrelated table
+    assert(store.latestSnapshot.exists(s =>
+      store.tablesAt(s).contains(SpanIndex.SpansTable)))
+  }
 }
