@@ -99,6 +99,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // Md5's no-overflow invariant caps usable seeds (HashFamily.MaxSeed)
+    // — fail loudly at plan-build time (PipelineSpec pins the contract)
+    require(family != HashFamily.Md5 || numHashes <= HashFamily.Md5.MaxSeed + 1,
+      s"Md5 family supports at most ${HashFamily.Md5.MaxSeed + 1} permutations")
     // BOTH families run a fused one-byte-scan kernel (round 7 extends the
     // round-6 xx64 fusion to the Md5 oracle parameterization — the
     // composed explode + 64-min-aggregate structure plus the
@@ -154,6 +158,10 @@ object Dedup {
       signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
+    // the band index is the seed; Md5's no-overflow bound caps it
+    // (fail loudly at plan-build time — PipelineSpec pins the contract)
+    require(family != HashFamily.Md5 || bands <= HashFamily.Md5.MaxSeed + 1,
+      s"Md5 family supports at most ${HashFamily.Md5.MaxSeed + 1} bands")
     // fused per-band kernels for BOTH families (LshBandHashes /
     // Md5LshBandHashes) — BAND-HASH VALUES UNCHANGED vs the composition
     // (same comma-joined-decimal bytes, same hash chain per family), so

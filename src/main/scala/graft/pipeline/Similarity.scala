@@ -133,12 +133,15 @@ object Similarity {
       family: HashFamily = HashFamily.XxHash64,
       nTables: Int = 1): DataFrame = {
     // per-vector norms computed once per side, before the bucket join
-    // (round 7 — the bruteForceTopK argument; values identical)
+    // (round 7 — the bruteForceTopK argument; values identical), and all
+    // nTables signatures from ONE fused kernel pass instead of nTables
+    // interpreted per-bit compositions (hyperplaneSigs; values pinned
+    // fused ≡ composed in HyperplaneSpec, ann02/ann05 oracles exact)
     def sigTables(df: DataFrame, id: String, idAs: String, vecAs: String,
         normAs: String): DataFrame =
       df.select(col(id).as(idAs), col(vecCol).as(vecAs),
-          posexplode(array((0 until nTables).map(t =>
-            bandSignature(col(vecCol), nBits, t, family)): _*)).as(Seq("t", "bucket")))
+          posexplode(hyperplaneSigs(col(vecCol), nBits, nTables, family))
+            .as(Seq("t", "bucket")))
         .withColumn(normAs, norm(col(vecAs)))
     val c = sigTables(corpus, idCol, "nn_id", "nn_vec", "nn_norm")
     val q = sigTables(queries, idCol, "query_id", "q_vec", "q_norm")
@@ -150,8 +153,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** All `nTables` band signatures in ONE fused kernel pass
+    * ([[graft.functions.HyperplaneSigs]], round 7): element t equals
+    * `bandSignature(vec, nBits, t, family)` exactly (HyperplaneSpec
+    * pins it, including the composition's null-swallowing-to-zero
+    * semantics). The composition below stays as the executable spec.
+    */
+  def hyperplaneSigs(vec: Column, nBits: Int, nTables: Int,
+      family: HashFamily): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.HyperplaneSigs(
+        org.apache.spark.sql.graft.ColumnShim.expression(vec),
+        nBits, nTables, family == HashFamily.Md5))
+
   /** nBits-bit signature for band `band` — independent plane sets per
-    * band (seed folded into the plane index).
+    * band (seed folded into the plane index). The defining composition
+    * (see [[hyperplaneSigs]], the fused production path).
     */
   def bandSignature(vec: Column, nBits: Int, band: Int,
       family: HashFamily = HashFamily.XxHash64): Column =
@@ -176,11 +193,13 @@ object Similarity {
       tau: Double, nBits: Int = 8, bands: Int = 1,
       family: HashFamily = HashFamily.XxHash64): DataFrame = {
     // per-vector norm once per corpus row (round 7), carried through the
-    // candidate union so the verify never recomputes it per pair
+    // candidate union so the verify never recomputes it per pair; all
+    // band buckets from one fused hyperplaneSigs pass
+    val hs = hyperplaneSigs(col(vecCol), nBits, bands, family)
     val sig = corpus.select(
       (Seq(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm")) ++
         (0 until bands).map(b =>
-          bandSignature(col(vecCol), nBits, b, family).as(s"bucket_$b"))): _*)
+          element_at(hs, b + 1).as(s"bucket_$b"))): _*)
     val candidates = (0 until bands).map { b =>
       val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
         col("vnorm").as("norm_a"), col(s"bucket_$b").as("bucket"))

@@ -119,7 +119,7 @@ object DedupScaleProbe {
     if (args.length > 2 && args(2) == "overlap_ab") {
       import graft.pipeline.Curation
       val srcDocs = docs.withColumn("source",
-        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+        concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(20)).cast("string")))
       def pipeline(composed: Boolean): Long =
         (if (composed) Curation.sourceOverlapMatrixComposed(srcDocs, "source", "text")
          else Curation.sourceOverlapMatrix(srcDocs, "source", "text")).count()
