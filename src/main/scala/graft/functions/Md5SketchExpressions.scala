@@ -203,6 +203,75 @@ object Md5Ops {
     SimHashOps.pack(votes)
   }
 
+  /** static codegen target; see [[Md5WinnowFp]] — the Md5-family twin of
+    * [[WinnowOps.winnowFp]]: whitespace tokens (case/bytes preserved, no
+    * fallback needed — ASCII whitespace never occurs inside a multi-byte
+    * UTF-8 sequence), rank = h1(md5(token)) mod (2^31 − 1), O(n)
+    * monotonic-deque window minima, sorted-distinct fingerprint, and
+    * fp_hash = h1 + 1·h2 of md5(comma-joined decimals) (seed 1).
+    */
+  def winnowFp(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val hh = new Array[Long](2)
+
+    def isWs(b: Byte): Boolean = // Java regex \s = [ \t\n\x0B\f\r]
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+    var hashes = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        if (nTok == hashes.length) hashes = java.util.Arrays.copyOf(hashes, nTok * 2)
+        val tok = java.util.Arrays.copyOfRange(bytes, start, i)
+        h1h2(tok, tok.length, hh)
+        hashes(nTok) = hh(0) % RankModulus // rankHash(t, 0) = pmod(h1, M)
+        nTok += 1
+      }
+    }
+
+    val nWin = if (nTok == 0) 0 else math.max(nTok - w + 1, 1)
+    val mins = new Array[Long](nWin)
+    if (nTok > 0) {
+      val win = math.min(w, nTok)
+      val deque = new Array[Int](nTok)
+      var head = 0; var tail = 0
+      i = 0
+      while (i < nTok) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - win) head += 1
+        if (i >= win - 1) mins(i - win + 1) = hashes(deque(head))
+        i += 1
+      }
+    }
+
+    java.util.Arrays.sort(mins)
+    var fpLen = 0
+    i = 0
+    while (i < nWin) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(fpLen) = mins(i); fpLen += 1 }
+      i += 1
+    }
+    val fp = java.util.Arrays.copyOf(mins, fpLen)
+
+    val buf = new Array[Byte](math.max(fpLen * 21, 1))
+    var pos = 0
+    i = 0
+    while (i < fpLen) {
+      if (pos > 0) { buf(pos) = ','; pos += 1 }
+      pos = MinHashOps.longToAscii(buf, pos, fp(i))
+      i += 1
+    }
+    h1h2(buf, pos, hh)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(fp), hh(0) + hh(1))) // hash(·, 1) = h1 + 1·h2
+  }
+
   /** static codegen target; see [[WindowHashes]]. One hash per k-token
     * window of an ALREADY-TOKENIZED array (the dd12/pipe11 span-dedup
     * key): the window's tokens joined with single spaces (null elements
@@ -370,6 +439,39 @@ case class Md5SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "md5_simhash64"
+}
+
+/** Fused Md5-family winnowing fingerprint — value-identical to
+  * `TextAnalysis.winnowingFingerprintComposed(…, HashFamily.Md5)` (the
+  * ta04 oracle parameterization); the xx64 twin is [[WinnowFp]]. See
+  * [[Md5Ops.winnowFp]] for the pipeline; Md5FusedSpec pins fused ≡
+  * composed, the ta04 DuckDB oracle pins the values cross-engine.
+  */
+case class Md5WinnowFp(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fingerprint",
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("fp_hash",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+    else if (window < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires window >= 1, got $window")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Ops.winnowFp(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Ops.winnowFp($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_winnow_fp"
 }
 
 /** Fused k-token window hashes over a token ARRAY (the dd12 / pipe11

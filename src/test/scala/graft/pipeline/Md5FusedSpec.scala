@@ -83,6 +83,25 @@ class Md5FusedSpec extends AnyFunSuite {
     }
   }
 
+  test("fused Md5 winnowing fingerprint equals the window-minima composition") {
+    val df = docsOf(adversarial(71))
+    for (w <- Seq(1, 4, 9)) {
+      val got = TextAnalysis.winnowingFingerprint(df, "doc_id", "text",
+          window = w, family = HashFamily.Md5)
+        .as[(Long, Seq[Long], Long)].collect().toMap2
+      val want = TextAnalysis.winnowingFingerprintComposed(df, "doc_id", "text",
+          window = w, family = HashFamily.Md5)
+        .as[(Long, Seq[Long], Long)].collect().toMap2
+      assert(got.keySet == want.keySet, s"w=$w")
+      got.foreach { case (id, v) => assert(v == want(id), s"w=$w doc_id=$id") }
+    }
+  }
+
+  private implicit class Tup3Map(rows: Array[(Long, Seq[Long], Long)]) {
+    def toMap2: Map[Long, (Seq[Long], Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("fused Md5 kernels equal the compositions on every fixture document text") {
     import graft.fixtures.SyntheticCorpus
     val texts = SyntheticCorpus.docsLocal(40).map(d =>
