@@ -41,18 +41,23 @@ object PlanDump {
           "flags, single aggregation emits union/except/intersect counts — " +
           "no driver-side counting."),
       "dd03_minhash_lsh_pairs" ->
-        ("MinHash+LSH near-dup pairs: signatures from one exploded " +
-          "hash-aggregate pass, banding → per-bucket equi-join on " +
-          "(band, bucket), Jaccard verify on candidates only — never " +
-          "all-pairs."),
+        ("MinHash+LSH near-dup pairs (Md5 oracle parameterization; round 7 " +
+          "fused like the xx64 family): signatures and band hashes are " +
+          "codegen'd kernel projections (md5_minhash_sigs / " +
+          "md5_lsh_band_hashes — zero explode rows, zero aggregate " +
+          "exchanges), banding → per-bucket equi-join on (band, bucket), " +
+          "Jaccard verify on candidates only — never all-pairs."),
       "ann01_topk_bruteforce" ->
-        "ANN exact baseline: queries broadcast, per-row cosine, top-k per query.",
+        ("ANN exact baseline: queries broadcast, per-pair codegen'd vec_dot " +
+          "with per-vector norms hoisted to once per side (round 7), " +
+          "salted two-phase top-k per query."),
       "ann05_lsh_multitable" ->
-        ("Multi-table LSH ANN (round-6): all L plane-set signatures come " +
-          "from ONE corpus pass (posexplode of the L-signature array), one " +
-          "equi-join on (table, bucket) serves all tables, candidate pairs " +
-          "dedup BEFORE the cosine scoring, salted two-phase top-k — the " +
-          "recall knob adds no extra corpus scans."),
+        ("Multi-table LSH ANN (round-6; round-7 fused): all L plane-set " +
+          "signatures come from ONE codegen'd hyperplane_sigs kernel pass " +
+          "with cached plane components (posexplode of the L-signature " +
+          "array), one equi-join on (table, bucket) serves all tables, " +
+          "candidate pairs dedup BEFORE the cosine scoring, salted " +
+          "two-phase top-k — the recall knob adds no extra corpus scans."),
       "crawl05_search" ->
         ("FTS over the COMMITTED pages_fts table: the term predicate is " +
           "pushed to the parquet scan of the index (PushedFilters: In(term)), " +
@@ -94,10 +99,12 @@ object PlanDump {
           "partial-aggregated groupBy joined back to the edge list, " +
           "partitioned by NODE id, so no component ever gathers in a task."),
       "ta05_repetition" ->
-        ("Gopher repetition signals: ONE tagged gram explode (single " +
-          "Generate — PlanSpec-asserted) → two hash-aggregate levels with " +
-          "partial (map-side) aggregation → conditional-agg pivot; no " +
-          "windows, no SinglePartition, one corpus scan for all four n."),
+        ("Gopher repetition signals (round-7 reshape): grams arrive " +
+          "ALREADY COUNTED per doc from the gram_counts kernel — the " +
+          "groupBy(id, n, gram) exchange is gone; one explode of counted " +
+          "rows → per-(id, n) partial-aggregated stats → conditional-agg " +
+          "pivot; no windows, no SinglePartition, one corpus scan for all " +
+          "four n."),
       "pipe09_curation_pipeline" ->
         ("End-to-end curation composition: the c4 verdict is per-row " +
           "expressions over one documents scan plus the grouped exact-dup " +
@@ -105,30 +112,37 @@ object PlanDump {
           "md5 shuffle assignment's per-shard rank — joins plus one " +
           "bounded-shard window, no collects."),
       "dd12_dup_span_removal" ->
-        ("Duplicate-span removal (exact-substring dedup): one token scan → " +
-          "window posexplode, map-side-combined count on the 8-byte window " +
-          "hash, semi join back on the same key, coverage explode only for " +
-          "DUPLICATED windows, per-doc coverage-array aggregate + narrow " +
-          "index-lambda rebuild — no per-token row crosses an exchange."),
+        ("Duplicate-span removal (exact-substring dedup; round-7 fused " +
+          "window hashing): one token scan → the window_hashes kernel " +
+          "computes every window's 8-byte key in one pass (posexplode " +
+          "kept), map-side-combined count on the hash, semi join back on " +
+          "the same key, coverage explode only for DUPLICATED windows, " +
+          "per-doc coverage-array aggregate + narrow index-lambda rebuild " +
+          "— no per-token row crosses an exchange."),
       "ta08_tfidf" ->
-        ("Per-doc TF-IDF top-k: map-side-combined tf groupBy, df over tf's " +
-          "unique (doc, token) rows, token-key join back, per-doc " +
-          "row_number window (partitioned — no global sort)."),
+        ("Per-doc TF-IDF top-k (round-7 reshape): tf comes already counted " +
+          "per doc from the gram_counts kernel (NO tf exchange), df " +
+          "aggregates the same doc-unique rows, token-key join back, " +
+          "per-doc row_number window (partitioned — no global sort)."),
       "pipe10_source_overlap" ->
-        ("Cross-source overlap matrix: one distinct (source, shingle) " +
-          "exchange, per-source sizes, shingle-key self-join with fan-out " +
-          "bounded by C(#sources, 2) per shingle — linear in distinct " +
-          "shingles, never doc-quadratic."),
+        ("Cross-source overlap matrix (round-7 reshape): ONE corpus-sized " +
+          "exchange — groupBy(shingle) with a partial-combined " +
+          "collect_set(source) (bounded by #sources) — then sizes and " +
+          "pair-intersection counts derive from that shingle-count-sized " +
+          "table; fan-out stays ≤ C(#sources, 2) per shingle, never " +
+          "doc-quadratic, and the old self-join's three corpus subtrees " +
+          "are gone."),
       "pipe11_span_decontaminate" ->
         ("Span decontamination: dd12's window/coverage/rebuild plan with " +
           "the flag set swapped to the eval split's distinct window " +
           "hashes (broadcast — eval sets are small; shuffle-hash knob " +
           "for huge ones)."),
       "ta09_ngram_counts" ->
-        ("N-gram count table: ONE tagged Generate carries every n's " +
-          "grams (not a scan+shuffle pair per n), then two " +
-          "partial-aggregatable groupBy levels; minCount filters the " +
-          "aggregated output."),
+        ("N-gram count table (round-7 reshape): every n's grams arrive " +
+          "ALREADY COUNTED per doc from ONE gram_counts kernel pass (not a " +
+          "scan+shuffle pair per n, and no per-occurrence rows), then ONE " +
+          "partial-aggregatable groupBy(n, gram) computes cf and df; " +
+          "minCount filters the aggregated output."),
       "dd13_span_committed" ->
         ("Committed span census, batch probe: the batch's window hashes " +
           "aggregate to delta counts, the census side is a hash-prefix-" +
