@@ -102,6 +102,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CollectLimit"))
   }
 
+  test("minhash signatures (Md5, round-7 fused): pure projection like the xx64 family") {
+    // the Md5 oracle parameterization now rides its own fused kernel —
+    // same plan shape as production: per-row projection off the scan,
+    // the null gate pushed down as the input filter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8,
+        family = HashFamily.Md5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("md5_minhash_sigs"), "fused Md5 expression missing from plan")
+    assert(!p.contains("Exchange"), "fused signature stage must not shuffle")
+    assert(!p.contains("HashAggregate"), "fused signature stage must not aggregate")
+    assert(!p.contains("Generate"), "fused signature stage must not explode")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"),
+      "null gate should be the pushed-down input filter")
+  }
+
+  test("ta09 n-gram counts (round-7): ONE aggregation exchange, counted-gram explode") {
+    // gram_counts emits per-doc counted triples, so the old
+    // groupBy(doc, n, gram) exchange is gone: exactly one Generate (the
+    // explode of counted rows) and exactly one Exchange (the final
+    // (n, gram) aggregate), map-side-combined
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.pipeline.TextAnalysis.ngramCounts(docs, "doc_id", "text",
+        maxN = 3, minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("gram_counts"), "fused kernel missing from plan")
+    assert("Generate ".r.findAllIn(p).size == 1,
+      s"expected exactly one explode in:\n${p.take(3000)}")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange in:\n${p.take(3000)}")
+    assert(p.contains("partial_"), "cf/df must combine map-side")
+  }
+
+  test("lshTopK signature stage (round-7): fused hyperplane kernel, no per-bit aggregates") {
+    // all nTables signatures from one hyperplane_sigs pass — the only
+    // Generates are the two posexplodes (corpus + query side), and the
+    // stage carries no aggregation below the ranking windows
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.pipeline.Similarity.lshTopK(
+        e, e.limit(5), "vec_id", "embedding", k = 3, nBits = 4, nTables = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hyperplane_sigs"), "fused kernel missing from plan")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "per-bit interpreted HOF chains should be gone")
+  }
+
   test("simhash signatures (xx64): pure projection, zero exchanges/aggregates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = Dedup.simhash(docs, "doc_id", "text")
