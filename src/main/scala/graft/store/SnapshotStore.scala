@@ -113,6 +113,8 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
     val timing = sys.env.contains("GRAFT_TIMING")
     val entries = scala.collection.mutable.Map[String, Seq[String]](prev.toSeq: _*)
 
+    // the WRITE half — thread-safe (no shared mutable state): may run
+    // concurrently with the other unions' writes (see below)
     def writeUnion(rel: String, tables: Seq[(String, DataFrame)]): Unit = {
       if (tables.isEmpty) return
       val union = tables
@@ -124,6 +126,10 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
       union.write.mode("overwrite").partitionBy("_t")
         .parquet(root.resolve(rel).toString)
       if (timing) println(f"[timing] snap=$snap%d write $rel%s(${tables.size}%d tables) ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+
+    // the BOOKKEEPING half — applied sequentially after the writes
+    def recordUnion(rel: String, tables: Seq[(String, DataFrame)]): Unit =
       tables.foreach { case (t, df) =>
         val dir = s"$rel/_t=$t"
         entries(t) =
@@ -131,16 +137,39 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
           else entries.getOrElse(t, Seq.empty) :+ dir
         entries(SchemaKey + t) = Seq(df.schema.toDDL)
       }
-    }
 
     val all = (overwrite.toSeq ++ append.toSeq).sortBy(_._1)
     val (soloTabs, all0) = all.partition { case (t, _) => solo(t) }
     val (heavy, rest) = all0.partition { case (t, _) => rowHeavy(t) }
-    writeUnion(f"combined/delta-$snap%06d", rest)
-    writeUnion(f"combined/rows-$snap%06d", heavy)
-    soloTabs.foreach { case (t, df) =>
-      writeUnion(f"combined/solo-$t-$snap%06d", Seq(t -> df))
+    val unions: Seq[(String, Seq[(String, DataFrame)])] =
+      (Seq(f"combined/delta-$snap%06d" -> rest,
+        f"combined/rows-$snap%06d" -> heavy) ++
+        soloTabs.map { case (t, df) =>
+          f"combined/solo-$t-$snap%06d" -> Seq(t -> df)
+        }).filter(_._2.nonEmpty)
+    // the 2-3 per-snapshot write jobs are INDEPENDENT (disjoint tables,
+    // disjoint output dirs) and each carries a low-parallelism tail
+    // (GRAFT_TIMING round-7 attribution: the three sequential writes
+    // were ~10-15 s of a ~24 s crawl round with executors mostly idle
+    // in their tails) — submit them concurrently so the FIFO scheduler
+    // back-fills one job's tail with the next job's tasks (optimization
+    // guide §2.6). Manifest bookkeeping stays sequential below; the
+    // atomic manifest rename still happens strictly after every write
+    // completes, so the crash model is unchanged. Data contents are
+    // byte-identical (frozen goldens + twin re-verified).
+    // GRAFT_SEQ_WRITES=1 restores the sequential shape (A/B knob).
+    if (unions.size <= 1 || sys.env.contains("GRAFT_SEQ_WRITES")) {
+      unions.foreach { case (rel, tabs) => writeUnion(rel, tabs) }
+    } else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = SnapshotStore.writeEc
+      val fs = unions.map { case (rel, tabs) =>
+        Future(writeUnion(rel, tabs))
+      }
+      fs.foreach(Await.result(_, Duration.Inf))
     }
+    unions.foreach { case (rel, tabs) => recordUnion(rel, tabs) }
     entries.toMap
   }
 
@@ -327,6 +356,24 @@ final class SnapshotStore(val rootDir: String, spark: SparkSession) {
 }
 
 object SnapshotStore {
+
+  /** Shared pool for the concurrent per-snapshot write jobs (guide
+    * §2.6): 3 threads — at most delta + rows + one solo write are ever
+    * in flight per commit, and FIFO scheduling back-fills tails. Daemon
+    * threads so an exiting driver never hangs on the pool.
+    */
+  private[store] lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-snapshot-write-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
   /** The many-rows/few-columns crawl tables — routed to their own narrow
     * combined write (see [[SnapshotStore.writeData]] scaladoc).
     */
