@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *   5. FTS solo write       (pages_fts alone — its posting rows dominate
   *                            the snapshot, so padding it to the
   *                            row-heavy superset cost ~6% of crawl CPU)
-  *   6. seen-Bloom delta     (ONE treeAggregate over the cached delta)
+  *   6. seen-Bloom delta     (ONE treeAggregate over the cached delta,
+  *                            overlapped with the write jobs: it starts
+  *                            as soon as the row-heavy write's observed
+  *                            count fires and joins before the commit)
   * plus a frontier count on the FIRST round of a run only (later rounds
   * reuse the write's observed metric), plus — ONLY when the scheduled
   * count is at most the seen-prefix space (the few-candidates regime,
@@ -210,6 +213,27 @@ final class CrawlLoop(
 
       val frontierObs = Observation(s"frontier-r$r")
       val seenObs = Observation(s"seen-r$r")
+      // The seen-Bloom fold (job 6 in the budget above) depends only on
+      // the cached seen delta and its observed count — which fires when
+      // the row-heavy union write completes, well inside the delta
+      // union's longer span now that the writes overlap. Launch it on a
+      // helper thread BEFORE the writes: it blocks on the observation,
+      // then runs its one treeAggregate inside the delta write's tail
+      // (optimization guide §2.6) instead of serially after all writes.
+      // The sidecar still lands strictly BEFORE the manifest flip (the
+      // Await below precedes commitManifest), so a crash leaves the
+      // filter at most ahead-by-one — the FP-safe direction the SeenSet
+      // resume path explicitly accepts. GRAFT_SEQ_BLOOM=1 restores the
+      // serial order (same-build A/B knob).
+      val seqBloom = sys.env.contains("GRAFT_SEQ_BLOOM")
+      def bloomFold(): Unit = timed(r, "seen_bloom") {
+        seenSet.update(out.seenDelta, r,
+          knownCount = seenObs.get("cnt").asInstanceOf[Long])
+      }
+      val bloomF =
+        if (seqBloom) None
+        else Some(scala.concurrent.Future(bloomFold())(
+          scala.concurrent.ExecutionContext.global))
       val entries = store.writeData(r,
         overwrite = Map(
           "frontier" -> out.frontierNext.observe(frontierObs,
@@ -233,10 +257,12 @@ final class CrawlLoop(
       // sidecar BEFORE the manifest flip: bloom-ahead-of-seen is FP-safe,
       // bloom-behind is not (see SeenSet crash-consistency scaladoc).
       // The delta Bloom is ONE cheap job over the cached delta (see
-      // SeenSet.update for why it must not ride the write as a metric).
-      timed(r, "seen_bloom") {
-        seenSet.update(out.seenDelta, r,
-          knownCount = seenObs.get("cnt").asInstanceOf[Long])
+      // SeenSet.update for why it must not ride the write as a metric);
+      // it was launched above, overlapped with the writes — join it here.
+      bloomF match {
+        case Some(f) => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+        case None => bloomFold()
       }
       store.commitManifest(r, entries)
 
